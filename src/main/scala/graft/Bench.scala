@@ -1,24 +1,109 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.mdm._
+
+/** Benchmark main (driver contract): one JSON line on stdout.
+  *
+  * Two parts:
+  *  1. per-query wall times for the driver-contract queries on
+  *     SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS];
+  *  2. the BASELINE.md scaling protocol — the ER pair-scoring job run on the
+  *     SAME written input at local[8] and local[32] (shuffle partitions
+  *     matched to cores), reporting pairs-scored/sec at both and the
+  *     throughput scaling efficiency (thr32/thr8)/4, target >= 0.8
+  *     (BASELINE.json north_rule; no multi-executor cluster in sandbox).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  /** The scaling workload: standardize -> block -> candidates -> attach ->
+    * score, counting scored pairs. Same code path as Pipeline.run. */
+  private def scoreJob(spark: SparkSession, inputPath: String): Long = {
+    val cfg = MatchConfig()
+    val pages = spark.read.parquet(inputPath)
+    val clean = Standardize(pages)
+    val withSig = Blocking.withSignature(clean, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = Blocking.blockKeys(clean, cfg)
+    val cands = Pairs.candidates(keys, cfg)
+    val scored = Scoring(Pairs.attach(cands, withSig), cfg)
+    val n = scored.count()
+    withSig.unpersist()
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchEntities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "40000").toInt
+
+    // --- part 1: contract queries ---------------------------------------
+    var spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch {
+        case _: Throwable =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+
+    // --- part 2: scaling protocol ----------------------------------------
+    // Write the synthetic corpus ONCE, then run the identical job at two
+    // parallelism levels against the written files.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val inputPath = s"$tmp/pages"
+    PageGen.pages(spark, benchEntities, hotEntities = benchEntities / 50)
+      .repartition(64)
+      .write.mode("overwrite").parquet(inputPath)
+    val nPages = spark.read.parquet(inputPath).count()
     spark.stop()
+
+    def timed(cores: Int): (Long, Double) = {
+      val s = session(cores)
+      val t0 = System.nanoTime()
+      val n = scoreJob(s, inputPath)
+      val dt = (System.nanoTime() - t0) / 1e9
+      s.stop()
+      (n, dt)
+    }
+    // warm JIT once at 8 cores on a prefix? Keep simple: run 8 then 32.
+    val (pairs8, sec8) = timed(8)
+    val (pairs32, sec32) = timed(32)
+    val thr8 = pairs8 / sec8
+    val thr32 = pairs32 / sec32
+    val eff = (thr32 / thr8) / 4.0
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val scaling =
+      f"""{"pages":$nPages,"pairs_scored":$pairs32,"local8_sec":$sec8%.2f,"local32_sec":$sec32%.2f,""" +
+        f""""pairs_per_sec_8":$thr8%.0f,"pairs_per_sec_32":$thr32%.0f,"scaling_efficiency":$eff%.3f}"""
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+    // cleanup temp corpus
+    try {
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rm); p.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    } catch { case _: Throwable => () }
   }
 }

@@ -1,0 +1,756 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+
+/** Driver-contract queries: one named query per implemented operator family
+  * from SURVEY.md §2, each with a DuckDB oracle in `Queries.oracle`.
+  * Column names are aligned 1:1 with the oracle SQL (the driver compare
+  * sorts columns by name before hashing). Every query output is a
+  * deterministic SET (unique sort keys where ordering matters).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum of a money expression, returned as double — identical
+    * bits on Spark and DuckDB regardless of accumulation order. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  // ---------------------------------------------------------------------
+  // Relational core (scan/filter/agg/join/window/setops — SURVEY.md §2.1-2.7)
+  // ---------------------------------------------------------------------
+
+  def q01_agg_lineitem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        round(avg(col("l_discount")), 4).as("avg_disc"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q02_filter_pushdown(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") < to_timestamp(lit("1996-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(
+        moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  def q03_join_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  def q04_broadcast_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy("n_name")
+
+  def q05_left_join_nullfill(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  def q06_anti_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").where(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").orderBy("c_custkey")
+
+  def q07_semi_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey").orderBy("c_custkey")
+
+  def q08_window_topk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  def q09_survivorship_recency(s: SparkSession, dir: String): DataFrame = {
+    // A2 most-recent-wins survivorship (reference ARRAY_AGG ... ORDER BY
+    // processed_at DESC LIMIT 1, bigquery_utils.py:728-731)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy("user_id")
+  }
+
+  def q10_survivorship_completeness(s: SparkSession, dir: String): DataFrame = {
+    // A1 most-complete-wins (ORDER BY LENGTH(x) DESC, bigquery_utils.py:725)
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").desc)
+    t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("lang"), col("source"), col("doc_id"))
+      .orderBy("lang", "source")
+  }
+
+  def q11_union_align(s: SparkSession, dir: String): DataFrame = {
+    // U1: 3-source UNION ALL with column alignment (bigquery_utils.py:154-237)
+    val c = t(s, dir, "customer")
+    val s1 = c.where(pmod(col("c_custkey"), lit(3)) === 0)
+      .select(col("c_custkey"), col("c_mktsegment"), lit("crm").as("src"))
+    val s2 = c.where(pmod(col("c_custkey"), lit(3)) === 1)
+      .select(col("c_custkey"), col("c_mktsegment"), lit("erp").as("src"))
+    val s3 = c.where(pmod(col("c_custkey"), lit(3)) === 2)
+      .select(col("c_custkey"), col("c_mktsegment"), lit("ecom").as("src"))
+    s1.unionByName(s2).unionByName(s3)
+      .groupBy(col("src"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("src", "c_mktsegment")
+  }
+
+  def q12_setops(s: SparkSession, dir: String): DataFrame = {
+    // U5/J10: EXCEPT via typed set op (reference NOT IN, bigquery_utils.py:677)
+    val a = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+    val b = t(s, dir, "customer").where(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("k"))
+    a.except(b).orderBy("k")
+  }
+
+  // ---------------------------------------------------------------------
+  // ER pipeline operators over testdata (SURVEY.md §2.2, §2.8)
+  // ---------------------------------------------------------------------
+
+  def q13_blocked_paircount(s: SparkSession, dir: String): DataFrame = {
+    // J1: blocked self-join pair gen with a.id < b.id (bigquery_utils.py:330-332)
+    val c = t(s, dir, "customer")
+    val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k1"))
+    val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"))
+    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n_pairs"))
+      .select(col("nk").as("c_nationkey"), col("n_pairs"))
+      .orderBy("c_nationkey")
+  }
+
+  def q14_levenshtein_pairs(s: SparkSession, dir: String): DataFrame = {
+    // F1: normalized Levenshtein similarity within blocks
+    val c = t(s, dir, "customer")
+    val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"), col("c_name").as("n2"))
+    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+      .withColumn("sim", round(levenshteinSim(col("n1"), col("n2")), 4))
+      .where(col("sim") >= 0.88)
+      .select(col("k1"), col("k2"), col("sim"))
+      .orderBy("k1", "k2")
+  }
+
+  def q15_token_overlap_docs(s: SparkSession, dir: String): DataFrame = {
+    // F3/J11: shared-token overlap |a∩b|/max(|a|,|b|) on same-(lang,source) doc pairs
+    val d = t(s, dir, "documents")
+    val a = d.select(col("lang"), col("source"), col("doc_id").as("d1"), col("text").as("t1"))
+    val b = d.select(col("lang"), col("source"), col("doc_id").as("d2"), col("text").as("t2"))
+    a.join(b, Seq("lang", "source")).where(col("d1") < col("d2"))
+      .withColumn("ov", round(tokenOverlap(col("t1"), col("t2")), 4))
+      .where(col("ov") >= 0.3)
+      .select(col("d1"), col("d2"), col("ov"))
+      .orderBy("d1", "d2")
+  }
+
+  def q16_jaccard_shingles(s: SparkSession, dir: String): DataFrame = {
+    // n-gram (3-token shingle) Jaccard near-dup score on same-source pairs
+    val d = t(s, dir, "documents")
+      .withColumn("sh", array_distinct(shingles(tokens(col("text")), 3)))
+      .where(size(tokens(col("text"))) >= 3)
+    val a = d.select(col("source"), col("doc_id").as("d1"), col("sh").as("sh1"))
+    val b = d.select(col("source"), col("doc_id").as("d2"), col("sh").as("sh2"))
+    a.join(b, Seq("source")).where(col("d1") < col("d2"))
+      .withColumn("jac",
+        round(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"), 4))
+      .where(col("jac") > 0)
+      .select(col("d1"), col("d2"), col("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  def q17_minhash_md5(s: SparkSession, dir: String): DataFrame = {
+    // MinHash signature (md5-keyed so DuckDB can replicate; product path
+    // uses xxhash64 — see Blocking)
+    val d = t(s, dir, "documents")
+      .withColumn("sh", shingles(tokens(col("text")), 3))
+    d.select(col("doc_id"),
+        array_min(transform(col("sh"), x => md5(concat(lit("0|"), x)))).as("mh0"),
+        array_min(transform(col("sh"), x => md5(concat(lit("1|"), x)))).as("mh1"),
+        array_min(transform(col("sh"), x => md5(concat(lit("2|"), x)))).as("mh2"),
+        array_min(transform(col("sh"), x => md5(concat(lit("3|"), x)))).as("mh3"))
+      .orderBy("doc_id")
+  }
+
+  def q18_lsh_band_pairs(s: SparkSession, dir: String): DataFrame = {
+    // LSH: 2 bands x 2 rows over the md5 minhash; pairs sharing any band
+    val sig = q17_minhash_md5(s, dir)
+      .withColumn("band0", md5(concat(col("mh0"), col("mh1"))))
+      .withColumn("band1", md5(concat(col("mh2"), col("mh3"))))
+    val keys = sig.select(col("doc_id"), explode(array(col("band0"), col("band1"))).as("bk"))
+    val a = keys.select(col("bk"), col("doc_id").as("d1"))
+    val b = keys.select(col("bk"), col("doc_id").as("d2"))
+    a.join(b, Seq("bk")).where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct().orderBy("d1", "d2")
+  }
+
+  def q19_exact_dedup(s: SparkSession, dir: String): DataFrame =
+    // exact dedup: hash-groupBy on content (md5(text))
+    t(s, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .orderBy("h")
+
+  def q20_simhash8(s: SparkSession, dir: String): DataFrame = {
+    // 8-bit SimHash via md5-hex bit votes — expressible in ANSI SQL for the
+    // oracle; the production simhash64 uses xxhash64 (GraftFunctions)
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("hx", md5(col("tok")))
+    val digit = (k: Int) =>
+      (instr(lit("0123456789abcdef"), substring(col("hx"), k + 1, 1)) - 1).cast("int")
+    val votes = (0 until 8).map(k =>
+      sum(when(digit(k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k"))
+    d.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 8).map(k => when(col(s"v$k") > 0, math.pow(2, k).toInt).otherwise(0))
+          .reduce(_ + _).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  def q21_cosine_pairs(s: SparkSession, dir: String): DataFrame = {
+    // F6 cosine similarity (vector strategy): distribution by same-label
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("label").as("l1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("label").as("l2"))
+    a.join(b, col("v1") < col("v2"))
+      .withColumn("cos", cosineSim(col("e1"), col("e2")))
+      .where(col("cos") >= 0.35)
+      .groupBy((col("l1") === col("l2")).as("same_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("same_label")
+  }
+
+  def q22_ann_topk(s: SparkSession, dir: String): DataFrame = {
+    // brute-force cosine top-k neighbors for the first 10 query vectors
+    val e = t(s, dir, "embeddings")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos"), 6).desc, col("nid"))
+    q.join(c, col("qid") =!= col("nid"))
+      .withColumn("cos", cosineSim(col("qe"), col("ne")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("nid"))
+      .orderBy("qid", "rk")
+  }
+
+  def q23_business_rules(s: SparkSession, dir: String): DataFrame = {
+    // F7 additive business score (bigquery_utils.py:438-470 semantics)
+    val c = t(s, dir, "customer")
+    val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k1"),
+      col("c_mktsegment").as("m1"), col("c_acctbal").as("b1"))
+    val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"),
+      col("c_mktsegment").as("m2"), col("c_acctbal").as("b2"))
+    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+      .withColumn("score", round(
+        when(col("m1") === col("m2"), 0.3).otherwise(0.0) +
+          lit(0.2) + // same nation by construction (the block key)
+          when(col("b1") > 0 && col("b2") > 0 &&
+            least(col("b1"), col("b2")) / greatest(col("b1"), col("b2")) >= 0.8, 0.1)
+            .otherwise(0.0), 2))
+      .groupBy(col("score")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("score")
+  }
+
+  def q24_ensemble_decision(s: SparkSession, dir: String): DataFrame = {
+    // F9 weighted ensemble + F10 thresholds (reference weights & cuts,
+    // bigquery_utils.py:596-634) over customer name pairs
+    val c = t(s, dir, "customer")
+    val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k1"),
+      col("c_name").as("n1"), col("c_mktsegment").as("m1"))
+    val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"),
+      col("c_name").as("n2"), col("c_mktsegment").as("m2"))
+    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+      .withColumn("exact", when(col("n1") === col("n2"), 1.0).otherwise(0.0))
+      .withColumn("fuzzy", levenshteinSim(col("n1"), col("n2")))
+      .withColumn("business",
+        when(col("m1") === col("m2"), 0.3).otherwise(0.0) + lit(0.2))
+      .withColumn("combined",
+        col("exact") * 0.30 + col("fuzzy") * 0.25 + col("business") * 0.15)
+      .withColumn("decision",
+        when(col("combined") >= 0.8, "auto_merge")
+          .when(col("combined") >= 0.6, "human_review")
+          .when(col("combined") > 0.3, "potential")
+          .otherwise("no_match"))
+      .groupBy(col("decision")).agg(count(lit(1)).as("n"))
+      .orderBy("decision")
+  }
+
+  def q25_master_id(s: SparkSession, dir: String): DataFrame =
+    // F12/P9: deterministic master id, first 36 hex of sha256("name:"+key)
+    t(s, dir, "customer")
+      .select(col("c_custkey"), masterId("name", col("c_name")).as("master_id"))
+      .orderBy("c_custkey")
+
+  def q26_deterministic_sample(s: SparkSession, dir: String): DataFrame =
+    // O3: ORDER BY RAND() LIMIT n made deterministic: order by md5(pk)
+    t(s, dir, "customer")
+      .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"))
+
+  def q27_cc_propagate(s: SparkSession, dir: String): DataFrame = {
+    // J8/W1: the reference's EXACT 2-hop min-label propagation
+    // (bigquery_utils.py:686-716) on a bipartite custkey/orderkey graph.
+    // (The production pipeline iterates to fixpoint — ConnectedComponents;
+    // this query pins the reference's per-hop semantics.)
+    val o = t(s, dir, "orders")
+    val edges = o.select(col("o_custkey").as("u"), (col("o_orderkey") + 10000000L).as("v"))
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    // hop 1: label(u) = min(u, min(neighbors))
+    val l1 = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("l1"))
+    // hop 2: label(u) = min(l1(u), min over neighbors of l1(v))
+    val l2 = sym.join(l1.select(col("u").as("v"), col("l1").as("l1v")), Seq("v"))
+      .groupBy("u").agg(min(col("l1v")).as("minnb"))
+    l1.join(l2, Seq("u"), "left")
+      .select(col("u").as("node"),
+        least(col("l1"), coalesce(col("minnb"), col("l1"))).as("label"))
+      .where(col("node") < 10000000L)
+      .orderBy("node")
+  }
+
+  def q28_time_bucket_agg(s: SparkSession, dir: String): DataFrame =
+    // streaming-analogue event-time bucketing (tumbling hour)
+    t(s, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy("hr", "event_type")
+
+  def q29_text_quality(s: SparkSession, dir: String): DataFrame = {
+    // text-analysis: token count, mean token length, type-token ratio
+    val toks = tokens(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        round(
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+            size(toks).cast("double"), 4).as("avg_tok_len"),
+        round(size(array_distinct(toks)).cast("double") / size(toks).cast("double"), 4)
+          .as("ttr"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  def q30_token_topk_per_lang(s: SparkSession, dir: String): DataFrame = {
+    // language profiling: top-5 tokens per lang (explode + grouped top-k)
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))
+    t(s, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("tok"), col("cnt"))
+      .orderBy("lang", "rk")
+  }
+
+  def q31_fingerprint(s: SparkSession, dir: String): DataFrame =
+    // document fingerprint: hash of the leading 8-token window
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(tokens(col("text")), 1, 8))).as("fp"))
+      .orderBy("doc_id")
+
+  def q32_binary_plumbing(s: SparkSession, dir: String): DataFrame =
+    // multimodal columns: opaque binary payload + typed metadata (schema
+    // plumbing is real; decode stays stubbed per the brief)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n_bytes"),
+        substring(sha2(col("text"), 256), 1, 16).as("content_key"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL (DuckDB 1.0) — same table names, same column names
+  // ---------------------------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | round(avg(l_discount), 4) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_broadcast_join" ->
+      """SELECT n_name, count(*) AS n_items, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q05_left_join_nullfill" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q09_survivorship_recency" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q10_survivorship_completeness" ->
+      """SELECT lang, source, doc_id FROM (
+        | SELECT lang, source, doc_id,
+        |  row_number() OVER (PARTITION BY lang, source ORDER BY n_chars DESC, doc_id DESC) AS rn
+        | FROM documents) WHERE rn = 1 ORDER BY lang, source""".stripMargin,
+    "q11_union_align" ->
+      """SELECT src, c_mktsegment, count(*) AS n FROM (
+        | SELECT c_custkey, c_mktsegment, 'crm' AS src FROM customer WHERE c_custkey % 3 = 0
+        | UNION ALL
+        | SELECT c_custkey, c_mktsegment, 'erp' AS src FROM customer WHERE c_custkey % 3 = 1
+        | UNION ALL
+        | SELECT c_custkey, c_mktsegment, 'ecom' AS src FROM customer WHERE c_custkey % 3 = 2)
+        |GROUP BY src, c_mktsegment ORDER BY src, c_mktsegment""".stripMargin,
+    "q12_setops" ->
+      """SELECT k FROM (
+        | SELECT DISTINCT o_custkey AS k FROM orders
+        | EXCEPT
+        | SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0)
+        |ORDER BY k""".stripMargin,
+    "q13_blocked_paircount" ->
+      """SELECT a.c_nationkey, count(*) AS n_pairs
+        |FROM customer a JOIN customer b
+        | ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |GROUP BY a.c_nationkey ORDER BY a.c_nationkey""".stripMargin,
+    "q14_levenshtein_pairs" ->
+      """SELECT k1, k2, sim FROM (
+        | SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+        |  round(1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+        |        / greatest(length(a.c_name), length(b.c_name)), 4) AS sim
+        | FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+        |WHERE sim >= 0.88 ORDER BY k1, k2""".stripMargin,
+    "q15_token_overlap_docs" ->
+      """SELECT d1, d2, ov FROM (
+        | SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  round(CAST(len(list_intersect(list_distinct(list_filter(string_split(a.text,' '), x -> x <> '')),
+        |                                list_distinct(list_filter(string_split(b.text,' '), x -> x <> '')))) AS DOUBLE)
+        |   / greatest(len(list_distinct(list_filter(string_split(a.text,' '), x -> x <> ''))),
+        |              len(list_distinct(list_filter(string_split(b.text,' '), x -> x <> '')))), 4) AS ov
+        | FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE ov >= 0.3 ORDER BY d1, d2""".stripMargin,
+    "q16_jaccard_shingles" ->
+      """WITH sh AS (
+        | SELECT doc_id, source,
+        |  list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        | FROM (SELECT doc_id, source, list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |       FROM documents)
+        | WHERE len(toks) >= 3)
+        |SELECT d1, d2, jac FROM (
+        | SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jac
+        | FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jac > 0 ORDER BY d1, d2""".stripMargin,
+    "q17_minhash_md5" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks) - 1),
+        |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |       FROM documents))
+        |SELECT doc_id,
+        | list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min') AS mh0,
+        | list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min') AS mh1,
+        | list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min') AS mh2,
+        | list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min') AS mh3
+        |FROM sh ORDER BY doc_id""".stripMargin,
+    "q18_lsh_band_pairs" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks) - 1),
+        |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+        | FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |       FROM documents)),
+        |sig AS (
+        | SELECT doc_id,
+        |  md5(list_aggregate(list_transform(sh, x -> md5('0|' || x)), 'min')
+        |   || list_aggregate(list_transform(sh, x -> md5('1|' || x)), 'min')) AS band0,
+        |  md5(list_aggregate(list_transform(sh, x -> md5('2|' || x)), 'min')
+        |   || list_aggregate(list_transform(sh, x -> md5('3|' || x)), 'min')) AS band1
+        | FROM sh),
+        |keys AS (
+        | SELECT doc_id, band0 AS bk FROM sig UNION ALL SELECT doc_id, band1 FROM sig)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM keys a JOIN keys b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin,
+    "q19_exact_dedup" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "q20_simhash8" ->
+      """WITH tok AS (
+        | SELECT doc_id, md5(unnest(list_filter(string_split(text,' '), x -> x <> ''))) AS hx
+        | FROM documents),
+        |votes AS (
+        | SELECT doc_id,
+        |  sum(CASE WHEN (strpos('0123456789abcdef', substr(hx,1,1)) - 1) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+        |  sum(CASE WHEN (strpos('0123456789abcdef', substr(hx,2,1)) - 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+        |  sum(CASE WHEN (strpos('0123456789abcdef', substr(hx,3,1)) - 1) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+        |  sum(CASE WHEN (strpos('0123456789abcdef', substr(hx,4,1)) - 1) & 1 = 1 THEN 1 ELSE -1 END) AS v3,
+        |  sum(CASE WHEN (strpos('0123456789abcdef', substr(hx,5,1)) - 1) & 1 = 1 THEN 1 ELSE -1 END) AS v4,
+        |  sum(CASE WHEN (strpos('0123456789abcdef', substr(hx,6,1)) - 1) & 1 = 1 THEN 1 ELSE -1 END) AS v5,
+        |  sum(CASE WHEN (strpos('0123456789abcdef', substr(hx,7,1)) - 1) & 1 = 1 THEN 1 ELSE -1 END) AS v6,
+        |  sum(CASE WHEN (strpos('0123456789abcdef', substr(hx,8,1)) - 1) & 1 = 1 THEN 1 ELSE -1 END) AS v7
+        | FROM tok GROUP BY doc_id)
+        |SELECT doc_id,
+        | (CASE WHEN v0>0 THEN 1 ELSE 0 END) + (CASE WHEN v1>0 THEN 2 ELSE 0 END)
+        | + (CASE WHEN v2>0 THEN 4 ELSE 0 END) + (CASE WHEN v3>0 THEN 8 ELSE 0 END)
+        | + (CASE WHEN v4>0 THEN 16 ELSE 0 END) + (CASE WHEN v5>0 THEN 32 ELSE 0 END)
+        | + (CASE WHEN v6>0 THEN 64 ELSE 0 END) + (CASE WHEN v7>0 THEN 128 ELSE 0 END) AS simhash
+        |FROM votes ORDER BY doc_id""".stripMargin,
+    "q21_cosine_pairs" ->
+      """SELECT a.label = b.label AS same_label, count(*) AS n
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+        |GROUP BY same_label ORDER BY same_label""".stripMargin,
+    "q22_ann_topk" ->
+      """SELECT qid, rk, nid FROM (
+        | SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |  row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+        |             b.vec_id) AS rk
+        | FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        | WHERE a.vec_id < 10)
+        |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+    "q23_business_rules" ->
+      """SELECT score, count(*) AS n_pairs FROM (
+        | SELECT round(
+        |   (CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 0.3 ELSE 0.0 END)
+        |   + 0.2
+        |   + (CASE WHEN a.c_acctbal > 0 AND b.c_acctbal > 0
+        |           AND least(a.c_acctbal, b.c_acctbal) / greatest(a.c_acctbal, b.c_acctbal) >= 0.8
+        |      THEN 0.1 ELSE 0.0 END), 2) AS score
+        | FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey)
+        |GROUP BY score ORDER BY score""".stripMargin,
+    "q24_ensemble_decision" ->
+      """SELECT decision, count(*) AS n FROM (
+        | SELECT CASE WHEN combined >= 0.8 THEN 'auto_merge'
+        |             WHEN combined >= 0.6 THEN 'human_review'
+        |             WHEN combined > 0.3 THEN 'potential'
+        |             ELSE 'no_match' END AS decision
+        | FROM (
+        |  SELECT (CASE WHEN a.c_name = b.c_name THEN 1.0 ELSE 0.0 END) * 0.30
+        |   + (1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+        |        / greatest(length(a.c_name), length(b.c_name))) * 0.25
+        |   + ((CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 0.3 ELSE 0.0 END) + 0.2) * 0.15
+        |   AS combined
+        |  FROM customer a JOIN customer b
+        |   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey))
+        |GROUP BY decision ORDER BY decision""".stripMargin,
+    "q25_master_id" ->
+      """SELECT c_custkey, substr(sha256('name:' || c_name), 1, 36) AS master_id
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q26_deterministic_sample" ->
+      """SELECT c_custkey FROM customer
+        |ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey LIMIT 20""".stripMargin,
+    "q27_cc_propagate" ->
+      """WITH edges AS (
+        | SELECT o_custkey AS u, o_orderkey + 10000000 AS v FROM orders),
+        |sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |l1 AS (SELECT u, least(min(v), u) AS l1 FROM sym GROUP BY u),
+        |l2 AS (SELECT sym.u, min(n.l1) AS minnb
+        |       FROM sym JOIN l1 n ON sym.v = n.u GROUP BY sym.u)
+        |SELECT l1.u AS node, least(l1.l1, coalesce(l2.minnb, l1.l1)) AS label
+        |FROM l1 LEFT JOIN l2 ON l1.u = l2.u
+        |WHERE l1.u < 10000000 ORDER BY node""".stripMargin,
+    "q28_time_bucket_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+        | event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+    "q29_text_quality" ->
+      """SELECT doc_id,
+        | len(toks) AS n_tokens,
+        | round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |   / CAST(len(toks) AS DOUBLE), 4) AS avg_tok_len,
+        | round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 4) AS ttr,
+        | n_chars
+        |FROM (SELECT doc_id, n_chars, list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q30_token_topk_per_lang" ->
+      """SELECT lang, rk, tok, cnt FROM (
+        | SELECT lang, tok, cnt,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rk
+        | FROM (SELECT lang, tok, count(*) AS cnt FROM (
+        |   SELECT lang, unnest(list_filter(string_split(text,' '), x -> x <> '')) AS tok
+        |   FROM documents) GROUP BY 1, 2))
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+    "q31_fingerprint" ->
+      """SELECT doc_id,
+        | md5(array_to_string(list_filter(string_split(text,' '), x -> x <> '')[1:8], ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q32_binary_plumbing" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | substr(sha256(text), 1, 16) AS content_key
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  /** All SQL-expressible queries. */
+  val sqlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_lineitem" -> (q01_agg_lineitem _),
+    "q02_filter_pushdown" -> (q02_filter_pushdown _),
+    "q03_join_agg" -> (q03_join_agg _),
+    "q04_broadcast_join" -> (q04_broadcast_join _),
+    "q05_left_join_nullfill" -> (q05_left_join_nullfill _),
+    "q06_anti_join" -> (q06_anti_join _),
+    "q07_semi_join" -> (q07_semi_join _),
+    "q08_window_topk" -> (q08_window_topk _),
+    "q09_survivorship_recency" -> (q09_survivorship_recency _),
+    "q10_survivorship_completeness" -> (q10_survivorship_completeness _),
+    "q11_union_align" -> (q11_union_align _),
+    "q12_setops" -> (q12_setops _),
+    "q13_blocked_paircount" -> (q13_blocked_paircount _),
+    "q14_levenshtein_pairs" -> (q14_levenshtein_pairs _),
+    "q15_token_overlap_docs" -> (q15_token_overlap_docs _),
+    "q16_jaccard_shingles" -> (q16_jaccard_shingles _),
+    "q17_minhash_md5" -> (q17_minhash_md5 _),
+    "q18_lsh_band_pairs" -> (q18_lsh_band_pairs _),
+    "q19_exact_dedup" -> (q19_exact_dedup _),
+    "q20_simhash8" -> (q20_simhash8 _),
+    "q21_cosine_pairs" -> (q21_cosine_pairs _),
+    "q22_ann_topk" -> (q22_ann_topk _),
+    "q23_business_rules" -> (q23_business_rules _),
+    "q24_ensemble_decision" -> (q24_ensemble_decision _),
+    "q25_master_id" -> (q25_master_id _),
+    "q26_deterministic_sample" -> (q26_deterministic_sample _),
+    "q27_cc_propagate" -> (q27_cc_propagate _),
+    "q28_time_bucket_agg" -> (q28_time_bucket_agg _),
+    "q29_text_quality" -> (q29_text_quality _),
+    "q30_token_topk_per_lang" -> (q30_token_topk_per_lang _),
+    "q31_fingerprint" -> (q31_fingerprint _),
+    "q32_binary_plumbing" -> (q32_binary_plumbing _)
+  )
+
+  // ---------------------------------------------------------------------
+  // Non-SQL-expressible operators (rows-only driver check; fully tested in
+  // ScalaTest against in-repo oracles instead)
+  // ---------------------------------------------------------------------
+
+  /** Full ER pipeline on the deterministic generated corpus -> golden records. */
+  def er_pipeline_golden(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val pages = graft.mdm.PageGen.pages(s, 120)
+    graft.mdm.Pipeline.run(pages).golden
+      .select("master_id", "canonical_url", "source_record_count", "first_seen")
+      .orderBy("master_id")
+  }
+
+  /** Fixpoint connected components (large-star/small-star) on a synthetic
+    * chain+clique graph derived from customer keys. */
+  def er_cc_fixpoint(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val chain = c.select(col("c_custkey").as("src"), (col("c_custkey") + 1).as("dst"))
+      .where(pmod(col("c_custkey"), lit(10)) < 4) // chains of length <=4 with gaps
+    graft.mdm.ConnectedComponents(chain, c.select(col("c_custkey").as("record_id")))
+      .orderBy("record_id")
+  }
+
+  /** xxhash64 MinHash-LSH self-join over documents (production blocking path). */
+  def er_lsh_blocking(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("sig", minhashSignature(shingles(tokens(col("text")), 3), 16))
+    d.select(col("doc_id"), explode(bandKeys(col("sig"), 8, 16)).as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).orderBy("bk")
+  }
+
+  /** 64-bit production simhash (xxhash64 bit-vote). */
+  def er_simhash64(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Soundex equality scoring (F2) — DuckDB lacks soundex; ScalaTest-pinned. */
+  def er_soundex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), soundex(col("c_name")).as("sdx"))
+      .orderBy("c_custkey")
+
+  /** Jaro-Winkler native expression over name pairs (no DuckDB equivalent). */
+  def er_jaro_winkler(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val c = t(s, dir, "customer")
+    val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"), col("c_name").as("n2"))
+    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+      .select(col("k1"), col("k2"), round(jaroWinkler(col("n1"), col("n2")), 4).as("jw"))
+      .where(col("jw") >= 0.97)
+      .orderBy("k1", "k2")
+  }
+
+  val nonSqlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_pipeline_golden" -> (er_pipeline_golden _),
+    "er_cc_fixpoint" -> (er_cc_fixpoint _),
+    "er_lsh_blocking" -> (er_lsh_blocking _),
+    "er_simhash64" -> (er_simhash64 _),
+    "er_soundex" -> (er_soundex _),
+    "er_jaro_winkler" -> (er_jaro_winkler _)
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = sqlQueries ++ nonSqlQueries
+}

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-expression similarity / sketch functions (SURVEY.md §2.8, §7.4).
+  *
+  * Everything here is pure Catalyst `Column` composition (higher-order
+  * functions, built-ins) or the native `JaroWinklerExpr` — no Scala UDFs on
+  * hot paths, so whole-stage codegen and predicate pushdown survive.
+  */
+object GraftFunctions {
+
+  /** Register SQL-callable custom expressions on a session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinklerExpr(exprs(0), exprs(1)), "built-in")
+  }
+
+  /** Jaro-Winkler similarity column over the native Catalyst expression. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
+
+  /** Normalized Levenshtein similarity, reference semantics
+    * `1 - EDIT_DISTANCE(a,b)/GREATEST(LENGTH(a),LENGTH(b))`, null/empty -> 0
+    * (/root/reference/batch_mdm_gcp/bigquery_utils.py:354-359). */
+  def levenshteinSim(a: Column, b: Column): Column = {
+    val denom = greatest(length(a), length(b))
+    when(a.isNull || b.isNull, 0.0)
+      .when(denom === 0, 1.0)
+      .otherwise(lit(1.0) - levenshtein(a, b).cast("double") / denom.cast("double"))
+  }
+
+  /** Token-overlap score, reference semantics: |shared| / max(|a|,|b|) over
+    * whitespace tokens (bigquery_utils.py:377-388 — the correlated UNNEST
+    * subquery re-expressed as array_intersect, SURVEY.md J11). */
+  def tokenOverlap(a: Column, b: Column): Column = {
+    val ta = array_distinct(split(a, "\\s+"))
+    val tb = array_distinct(split(b, "\\s+"))
+    val denom = greatest(size(ta), size(tb))
+    when(a.isNull || b.isNull || denom === 0, 0.0)
+      .otherwise(size(array_intersect(ta, tb)).cast("double") / denom.cast("double"))
+  }
+
+  /** Jaccard over two string arrays: |a n b| / |a u b|. */
+  def arrayJaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val uni = size(array_union(da, db)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** Cosine similarity over ArrayType(Float/Double) columns via zip_with +
+    * aggregate — stays in Catalyst, no UDF (SURVEY.md F6; reference
+    * `1 - COSINE_DISTANCE`, bigquery_utils.py:417-424). Accumulates in
+    * double regardless of input element type. */
+  def cosineSim(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    when(a.isNull || b.isNull, null)
+      .when(na === 0.0 || nb === 0.0, 0.0)
+      .otherwise(dot / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Whitespace tokens with empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** n-token shingles: ["a b c", "b c d", ...]. Input: token array. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** MinHash signature: array of `numHashes` min-over-shingles xxhash64
+    * values. mllib's MinHashLSH exists but a hand-rolled column expr keeps
+    * the whole plan codegen'd and deterministic (SURVEY.md §7.4). */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
+
+  /** LSH band keys from a minhash signature: `bands` keys, each hashing
+    * r = |sig|/bands consecutive signature slots together with the band id
+    * (so keys from different bands never collide). */
+  def bandKeys(sig: Column, bands: Int, numHashes: Int): Column = {
+    val r = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws(",", slice(sig, b * r + 1, lit(r)))))
+  }
+
+  /** Estimated Jaccard from two minhash signatures: fraction of equal slots
+    * (unbiased estimator — the "vector" strategy analogue, SURVEY.md F6/F13). */
+  def minhashJaccardEst(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x) / size(sigA).cast("double")
+
+  /** 64-bit SimHash over a token array: per-bit majority vote of token
+    * xxhash64 bits (SURVEY.md §7.4 "bit-vote over token hashes"). */
+  def simhash64(toks: Column): Column = {
+    val votes = transform(sequence(lit(0), lit(63)), bit =>
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + when(
+          call_function("shiftright", xxhash64(t), bit).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming similarity between two 64-bit simhashes in [0,1]. */
+  def simhashSim(a: Column, b: Column): Column =
+    lit(1.0) - bit_count(a.bitwiseXOR(b)).cast("double") / lit(64.0)
+
+  /** Deterministic master id: first 36 hex chars of sha256 of a prefixed
+    * natural key (reference F12, bigquery_utils.py:766-780;
+    * streaming_processor.py:367-395 — cross-path ID stability). */
+  def masterId(prefix: String, key: Column): Column =
+    substring(sha2(concat(lit(prefix + ":"), key), 256), 1, 36)
+}

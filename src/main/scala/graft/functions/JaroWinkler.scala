@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro-Winkler similarity as a native Catalyst expression.
+  *
+  * Spark has no built-in (SURVEY.md §7.4); the reference uses BigQuery
+  * EDIT_DISTANCE-based fuzzing only, but the north rule asks for a
+  * "batched Jaro-Winkler + Levenshtein + token-Jaccard feature vector".
+  * Implemented with `doGenCode` delegating to a static method so the call
+  * stays inside whole-stage codegen (no Scala UDF boxing, no
+  * CodegenFallback interpretation on the hot pair-scoring path).
+  *
+  * Standard Jaro-Winkler (Winkler 1990): jw = j + l * p * (1 - j) with
+  * prefix scale p = 0.1, l = common prefix length capped at 4.
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler requires (string, string), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinkler.similarity(
+      l.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaroWinkler.similarity($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  /** Jaro-Winkler similarity in [0,1]. Static so generated code can call it. */
+  def similarity(s1: String, s2: String): Double = {
+    val jaro = jaroSim(s1, s2)
+    if (jaro <= 0.7) jaro
+    else {
+      var l = 0
+      val maxPrefix = math.min(4, math.min(s1.length, s2.length))
+      while (l < maxPrefix && s1.charAt(l) == s2.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  def jaroSim(s1: String, s2: String): Double = {
+    val n1 = s1.length
+    val n2 = s2.length
+    if (n1 == 0 && n2 == 0) return 1.0
+    if (n1 == 0 || n2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val matchWindow = math.max(0, math.max(n1, n2) / 2 - 1)
+    val m1 = new Array[Boolean](n1)
+    val m2 = new Array[Boolean](n2)
+    var matches = 0
+    var i = 0
+    while (i < n1) {
+      val lo = math.max(0, i - matchWindow)
+      val hi = math.min(n2 - 1, i + matchWindow)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < n1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / n1 + m / n2 + (m - t / 2.0) / m) / 3.0
+  }
+}

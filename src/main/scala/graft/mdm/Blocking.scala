@@ -1,0 +1,43 @@
+package graft.mdm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Blocking stage: replaces the reference's O(N²) self CROSS JOINs
+  * (/root/reference/batch_mdm_gcp/bigquery_utils.py:330-332,390-392,419-424,
+  * 472-474) with multi-key equi-join blocking — the single mandated
+  * architectural divergence (SURVEY.md §4, north_rule).
+  *
+  * Two key families, unioned:
+  *   1. `domain` — normalized-domain exact key (analogue of the streaming
+  *      path's indexed company/prefix blocks, streaming_processor.py:118-126)
+  *   2. MinHash-LSH band keys over token 3-shingles of `text` — recovers
+  *      near-duplicate pairs whose urls share nothing (mirror domains).
+  */
+object Blocking {
+
+  /** clean pages -> exploded (record_id, block_key) rows.
+    * Block keys are strings namespaced by family so families never collide.
+    */
+  def blockKeys(clean: DataFrame, cfg: MatchConfig): DataFrame = {
+    val toks = tokens(col("text"))
+    val sig = minhashSignature(shingles(toks, cfg.shingleSize), cfg.numHashes)
+    val bands = bandKeys(col("sig"), cfg.bands, cfg.numHashes)
+
+    val withKeys = clean
+      .withColumn("sig", sig)
+      .withColumn("keys",
+        array_union(
+          array(concat(lit("d:"), col("domain"))),
+          transform(bands, b => concat(lit("b:"), b))))
+
+    withKeys.select(col("record_id"), explode(col("keys")).as("block_key"))
+  }
+
+  /** Per-record minhash signature (reused by scoring as the vector-strategy
+    * feature, so it is computed once here). */
+  def withSignature(clean: DataFrame, cfg: MatchConfig): DataFrame =
+    clean.withColumn("sig",
+      minhashSignature(shingles(tokens(col("text")), cfg.shingleSize), cfg.numHashes))
+}

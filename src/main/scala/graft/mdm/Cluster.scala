@@ -1,0 +1,97 @@
+package graft.mdm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over match edges, iterated to TRUE fixpoint.
+  *
+  * The reference runs a fixed 2-hop min-label propagation and calls it
+  * "simplified transitive closure"
+  * (/root/reference/batch_mdm_gcp/bigquery_utils.py:639-716, caveat at :685)
+  * — chains longer than ~3 hops under-merge. Per SURVEY.md §2.9 and the
+  * north rule we implement the alternating large-star / small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SOCC 2014) as a pure DataFrame loop: O(log n) rounds, each
+  * round two groupBy-min + join stages; lineage cut by checkpoint every
+  * `checkpointEvery` iterations. No GraphX / RDDs (input_hint).
+  */
+object ConnectedComponents {
+
+  /** edges(src, dst) undirected -> assignments(record_id, cluster_id) where
+    * cluster_id = min record id of the component. Nodes present only in
+    * `allNodes` (no edges) become singleton clusters (reference J10,
+    * bigquery_utils.py:677-682).
+    */
+  def apply(edges: DataFrame, allNodes: DataFrame, cfg: MatchConfig = MatchConfig()): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+    var e = e0.localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < cfg.maxIterations) {
+      val afterLarge = largeStar(e)
+      val afterSmall = smallStar(afterLarge)
+      val next = afterSmall.localCheckpoint(true)
+      // fixpoint test: edge set unchanged (cheap order-independent digest)
+      val d1 = digest(e)
+      val d2 = digest(next)
+      converged = d1 == d2
+      e = next
+      iter += 1
+    }
+
+    // e is now a star forest: (child -> root). Roots map to themselves.
+    val assign = e.select(col("v").as("record_id"), col("u").as("cluster_id"))
+      .union(e.select(col("u").as("record_id"), col("u").as("cluster_id")))
+      .groupBy("record_id").agg(min("cluster_id").as("cluster_id"))
+
+    // singletons: nodes with no edges cluster to themselves
+    allNodes.select(col("record_id"))
+      .join(assign, Seq("record_id"), "left")
+      .select(col("record_id"),
+        coalesce(col("cluster_id"), col("record_id")).as("cluster_id"))
+  }
+
+  /** Large-star: for every node u, connect all strictly-larger neighbors to
+    * m(u) = min(u ∪ Γ(u)). Operates on the symmetrized edge list. */
+  private[mdm] def largeStar(e: DataFrame): DataFrame = {
+    val n = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = n.groupBy("u")
+      .agg(min("v").as("minv"))
+      .select(col("u"), least(col("u"), col("minv")).as("m"))
+    n.join(mins, Seq("u"))
+      .where(col("v") > col("u"))
+      .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: for every node u, connect all smaller-or-equal neighbors
+    * (and u itself) to m(u) = min over those neighbors. */
+  private[mdm] def smallStar(e: DataFrame): DataFrame = {
+    // orient edges high -> low: key = max endpoint, nbr = min endpoint
+    val o = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val mins = o.groupBy("u").agg(min("v").as("m"))
+    val relink = o.join(mins, Seq("u"))
+      .select(greatest(col("v"), col("m")).as("u"), least(col("v"), col("m")).as("v"))
+    val self = mins.select(col("u"), col("m").as("v"))
+    relink.union(self)
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+  }
+
+  /** Order-independent digest of an edge set: (count, xor of row hashes).
+    * bit_xor (not sum) — cannot overflow under ANSI mode (Spark 4 default). */
+  private def digest(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      count(lit(1)).as("c"),
+      coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.mdm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Pair scoring: the reference's 5 match strategies computed in ONE pass per
+  * candidate pair (vs. the reference's 5 separate pair tables LEFT-JOINed
+  * back together, /root/reference/batch_mdm_gcp/bigquery_utils.py:301-636 —
+  * SURVEY.md J6 notes the single-pass design removes 5 shuffles), then the
+  * weighted ensemble (F9) and threshold decision (F10).
+  */
+object Scoring {
+
+  /** Per-strategy feature columns over an attached pair frame (a_*, b_*). */
+  def features(pairs: DataFrame, cfg: MatchConfig): DataFrame = {
+    // F5 exact: canonical url equality OR byte-identical content
+    // (analogue of email/phone/id exact keys, bigquery_utils.py:313-338;
+    // each hit 1.0, overall = GREATEST).
+    val exactUrl = when(col("a_url_canon") === col("b_url_canon"), 1.0).otherwise(0.0)
+    val exactContent = when(col("a_text_md5") === col("b_text_md5"), 1.0).otherwise(0.0)
+    val exact = greatest(exactUrl, exactContent)
+
+    // F1-F4 fuzzy: GREATEST of JW(slug), Levenshtein-sim(head), token
+    // overlap of heads; plus shingle-Jaccard mixed in via the vector
+    // strategy below (bigquery_utils.py:354-402 shape).
+    val jw = jaroWinkler(col("a_slug"), col("b_slug"))
+    val lev = levenshteinSim(col("a_head"), col("b_head"))
+    val tok = tokenOverlap(col("a_head"), col("b_head"))
+    val fuzzy = greatest(jw, lev, tok)
+
+    // F6 vector analogue: minhash-estimated Jaccard of text shingles
+    // (the env has no embedding model, SURVEY.md F8/F13 — deterministic
+    // sketch similarity replaces ML.GENERATE_EMBEDDING cosine).
+    val vector = minhashJaccardEst(col("a_sig"), col("b_sig"))
+
+    // F7 business rules, ADDITIVE (bigquery_utils.py:438-470;
+    // presentation_batch_arch.md:334-342): domain 0.3, lang 0.2,
+    // crawl-time proximity 0.4/0.2, length-ratio 0.1 — capped at 1.0.
+    val tsDiffDays = abs(unix_timestamp(col("a_warc_ts")) - unix_timestamp(col("b_warc_ts"))) / 86400.0
+    val lenRatio = least(col("a_n_tokens"), col("b_n_tokens")).cast("double") /
+      greatest(col("a_n_tokens"), col("b_n_tokens")).cast("double")
+    val business = least(lit(1.0),
+      when(col("a_domain") === col("b_domain"), 0.3).otherwise(0.0) +
+        when(col("a_lang") === col("b_lang"), 0.2).otherwise(0.0) +
+        when(tsDiffDays <= 7, 0.4).when(tsDiffDays <= 90, 0.2).otherwise(0.0) +
+        when(lenRatio >= 0.8, 0.1).otherwise(0.0))
+
+    // F8 AI strategy: pluggable scorer, deterministic stub 0.0 in this env —
+    // mirrors the reference's own degradation (streaming runs with vector=0,
+    // streaming_processor.py:208-213).
+    val ai = lit(0.0)
+
+    pairs
+      .withColumn("exact_score", exact)
+      .withColumn("fuzzy_score", fuzzy)
+      .withColumn("vector_score", vector)
+      .withColumn("business_score", business)
+      .withColumn("ai_score", ai)
+  }
+
+  /** F9 weighted ensemble + F10 decision thresholds (kept verbatim:
+    * >=0.8 auto_merge / >=0.6 human_review / else no_match,
+    * bigquery_utils.py:620-631; weights calibrated per MatchConfig). */
+  def combined(cfg: MatchConfig): Column =
+    coalesce(col("exact_score"), lit(0.0)) * cfg.wExact +
+      coalesce(col("fuzzy_score"), lit(0.0)) * cfg.wFuzzy +
+      coalesce(col("vector_score"), lit(0.0)) * cfg.wVector +
+      coalesce(col("business_score"), lit(0.0)) * cfg.wBusiness +
+      coalesce(col("ai_score"), lit(0.0)) * cfg.wAi
+
+  def decision(cfg: MatchConfig): Column =
+    when(col("combined_score") >= cfg.autoMergeThreshold, "auto_merge")
+      .when(col("combined_score") >= cfg.reviewThreshold, "human_review")
+      .otherwise("no_match")
+
+  def confidence(cfg: MatchConfig): Column =
+    when(col("combined_score") >= cfg.autoMergeThreshold, "high")
+      .when(col("combined_score") >= cfg.reviewThreshold, "medium")
+      .otherwise("low")
+
+  /** Full scoring stage: features -> ensemble -> decision; keeps pairs above
+    * the reference's `combined_score > 0.3` potential-match gate
+    * (bigquery_utils.py:634). */
+  def apply(attachedPairs: DataFrame, cfg: MatchConfig): DataFrame =
+    features(attachedPairs, cfg)
+      .withColumn("combined_score", combined(cfg))
+      .withColumn("match_decision", decision(cfg))
+      .withColumn("confidence_level", confidence(cfg))
+      .where(col("combined_score") > cfg.keepThreshold)
+      .select(col("id1").as("record1_id"), col("id2").as("record2_id"),
+        col("exact_score"), col("fuzzy_score"), col("vector_score"),
+        col("business_score"), col("ai_score"),
+        col("combined_score"), col("match_decision"), col("confidence_level"))
+}

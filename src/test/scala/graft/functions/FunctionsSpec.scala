@@ -1,0 +1,132 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+class FunctionsSpec extends SparkSpec {
+
+  private def evalPairs(pairs: Seq[(String, String)],
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Seq[Double] = {
+    val df = spark.createDataFrame(pairs).toDF("a", "b")
+    df.select(f(col("a"), col("b")).as("v")).collect().map(_.getDouble(0)).toSeq
+  }
+
+  // --- Jaro-Winkler: classic published vectors (Winkler 1990) -------------
+  test("jaro_winkler matches canonical examples") {
+    def jw(a: String, b: String) = JaroWinkler.similarity(a, b)
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611) < 0.001)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133) < 0.001)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 0.001)
+    assert(jw("", "") == 1.0)
+    assert(jw("a", "") == 0.0)
+    assert(jw("same", "same") == 1.0)
+  }
+
+  test("jaro_winkler via Catalyst expression equals static impl") {
+    val pairs = Seq(("MARTHA", "MARHTA"), ("abc", "xyz"), ("hello world", "hello word"))
+    val got = evalPairs(pairs, jaroWinkler)
+    val want = pairs.map { case (a, b) => JaroWinkler.similarity(a, b) }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+  }
+
+  test("jaro_winkler properties: range, symmetry, identity (seeded fuzz)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val a = rnd.alphanumeric.take(rnd.nextInt(24)).mkString
+      val b = rnd.alphanumeric.take(rnd.nextInt(24)).mkString
+      val s = JaroWinkler.similarity(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"range violated for ($a,$b): $s")
+      assert(math.abs(s - JaroWinkler.similarity(b, a)) < 1e-12)
+      assert(JaroWinkler.similarity(a, a) == 1.0)
+    }
+  }
+
+  // --- Levenshtein similarity: reference normalization --------------------
+  // 1 - EDIT_DISTANCE/GREATEST(len) (bigquery_utils.py:354-359)
+  test("levenshteinSim matches reference normalization") {
+    val got = evalPairs(Seq(("kitten", "sitting"), ("abc", "abc"), ("abc", "")), levenshteinSim)
+    assert(math.abs(got(0) - (1.0 - 3.0 / 7.0)) < 1e-12)
+    assert(got(1) == 1.0)
+    assert(got(2) == 0.0) // empty -> denominator len 3, distance 3
+  }
+
+  // --- Token overlap: |shared|/max (bigquery_utils.py:377-388) ------------
+  test("tokenOverlap matches reference token-count semantics") {
+    val got = evalPairs(Seq(
+      ("john michael smith", "john m smith"),
+      ("a b", "c d"),
+      ("x y z", "x y z")), tokenOverlap)
+    assert(math.abs(got(0) - 2.0 / 3.0) < 1e-12)
+    assert(got(1) == 0.0)
+    assert(got(2) == 1.0)
+  }
+
+  // --- Cosine over arrays --------------------------------------------------
+  test("cosineSim on known vectors") {
+    val df = spark.createDataFrame(Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(2.0f, 4.0f)),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 0.0f)))).toDF("a", "b")
+    val got = df.select(cosineSim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  // --- Shingles / minhash / bands ------------------------------------------
+  test("shingles produce n-gram windows; short docs degrade to one shingle") {
+    val df = spark.createDataFrame(Seq(Tuple1("a b c d"), Tuple1("a b"))).toDF("t")
+    val got = df.select(shingles(tokens(col("t")), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+  }
+
+  test("identical texts share all band keys; unrelated texts share none") {
+    val df = spark.createDataFrame(Seq(
+      ("x", "w1 w2 w3 w4 w5 w6 w7 w8"),
+      ("y", "w1 w2 w3 w4 w5 w6 w7 w8"),
+      ("z", "q1 q2 q3 q4 q5 q6 q7 q8"))).toDF("id", "t")
+    val keys = df.select(col("id"),
+      bandKeys(minhashSignature(shingles(tokens(col("t")), 3), 16), 8, 16).as("k"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(keys("x") == keys("y"))
+    assert(keys("x").intersect(keys("z")).isEmpty)
+  }
+
+  test("minhashJaccardEst: 1 for identical, ~0 for disjoint") {
+    val df = spark.createDataFrame(Seq(
+      ("w1 w2 w3 w4 w5 w6", "w1 w2 w3 w4 w5 w6"),
+      ("w1 w2 w3 w4 w5 w6", "q1 q2 q3 q4 q5 q6"))).toDF("a", "b")
+    def sig(c: org.apache.spark.sql.Column) = minhashSignature(shingles(tokens(c), 3), 16)
+    val got = df.select(minhashJaccardEst(sig(col("a")), sig(col("b")))).collect().map(_.getDouble(0))
+    assert(got(0) == 1.0)
+    assert(got(1) == 0.0)
+  }
+
+  // --- SimHash --------------------------------------------------------------
+  test("simhash: identical texts equal; near texts close; disjoint texts far") {
+    val df = spark.createDataFrame(Seq(
+      ("a", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      ("b", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      ("c", "w1 w2 w3 w4 w5 w6 w7 w8 w9 typo"),
+      ("d", "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"))).toDF("id", "t")
+    val h = df.select(col("id"), simhash64(tokens(col("t"))).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h("a") == h("b"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(h("a"), h("c")) < ham(h("a"), h("d")))
+  }
+
+  // --- Master id -------------------------------------------------------------
+  test("masterId = first 36 hex of sha256 with key prefix (reference F12)") {
+    val df = spark.createDataFrame(Seq(Tuple1("alice@example.com"))).toDF("k")
+    val got = df.select(masterId("email", col("k"))).head().getString(0)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("email:alice@example.com".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got == md.take(36))
+    assert(got.length == 36)
+  }
+}
