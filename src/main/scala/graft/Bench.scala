@@ -50,7 +50,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchEntities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "40000").toInt
+    // Sized so the timed job is compute-bound (~6M scored pairs): small
+    // inputs make fixed scan/shuffle overheads dominate and the N-vs-4N
+    // efficiency measurement meaningless.
+    val benchEntities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "200000").toInt
 
     // --- part 1: contract queries ---------------------------------------
     var spark = session(cpus)
@@ -70,21 +73,29 @@ object Bench {
     // parallelism levels against the written files.
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val inputPath = s"$tmp/pages"
-    PageGen.pages(spark, benchEntities, hotEntities = benchEntities / 50)
-      .repartition(64)
+    PageGen.pages(spark, benchEntities, hotEntities = math.min(benchEntities / 50, 800))
+      .repartition(128)
       .write.mode("overwrite").parquet(inputPath)
     val nPages = spark.read.parquet(inputPath).count()
     spark.stop()
 
+    // JIT asymmetry control: best-of-2 timed runs per level after a small
+    // warm-up slice; first level run additionally warms the shared JVM.
     def timed(cores: Int): (Long, Double) = {
       val s = session(cores)
-      val t0 = System.nanoTime()
-      val n = scoreJob(s, inputPath)
-      val dt = (System.nanoTime() - t0) / 1e9
+      val slice = s"$tmp/warm"
+      if (!new java.io.File(slice).exists())
+        s.read.parquet(inputPath).limit(3000)
+          .write.mode("overwrite").parquet(slice)
+      scoreJob(s, slice)
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = scoreJob(s, inputPath)
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
       s.stop()
-      (n, dt)
+      (runs.head._1, runs.map(_._2).min)
     }
-    // warm JIT once at 8 cores on a prefix? Keep simple: run 8 then 32.
     val (pairs8, sec8) = timed(8)
     val (pairs32, sec32) = timed(32)
     val thr8 = pairs8 / sec8

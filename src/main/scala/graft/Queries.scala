@@ -14,8 +14,10 @@ import graft.functions.GraftFunctions._
   */
 object Queries {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftFunctions.register(s) // idempotent; custom expressions used below
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Exact decimal sum of a money expression, returned as double — identical
     * bits on Spark and DuckDB regardless of accumulation order. */
@@ -241,8 +243,10 @@ object Queries {
   }
 
   def q21_cosine_pairs(s: SparkSession, dir: String): DataFrame = {
-    // F6 cosine similarity (vector strategy): distribution by same-label
-    val e = t(s, dir, "embeddings")
+    // F6 cosine similarity (vector strategy): distribution by same-label.
+    // Capped to the first 1000 vectors — the point is the operator, the
+    // full-corpus pair space belongs to the LSH-bucketed path (er_cosine_dedup).
+    val e = t(s, dir, "embeddings").where(col("vec_id") < 1000)
     val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("label").as("l1"))
     val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("label").as("l2"))
     a.join(b, col("v1") < col("v2"))
@@ -394,6 +398,24 @@ object Queries {
         octet_length(col("text").cast("binary")).as("n_bytes"),
         substring(sha2(col("text"), 256), 1, 16).as("content_key"))
       .orderBy("doc_id")
+
+  def q33_distinct_counts(s: SparkSession, dir: String): DataFrame =
+    // A4 exact COUNT(DISTINCT ...) (bigquery_utils.py:748)
+    t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  def q34_prefix_block_join(s: SparkSession, dir: String): DataFrame = {
+    // J13: 3-char prefix block key equi-join (streaming_processor.py:118-131)
+    val c = t(s, dir, "customer")
+      .withColumn("blk", substring(col("c_name"), 16, 3))
+    val a = c.select(col("blk"), col("c_custkey").as("k1"))
+    val b = c.select(col("blk"), col("c_custkey").as("k2"))
+    a.join(b, Seq("blk")).where(col("k1") < col("k2"))
+      .groupBy(col("blk")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("blk")
+  }
 
   // ---------------------------------------------------------------------
   // Oracle SQL (DuckDB 1.0) — same table names, same column names
@@ -565,7 +587,8 @@ object Queries {
     "q21_cosine_pairs" ->
       """SELECT a.label = b.label AS same_label, count(*) AS n
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+        |WHERE a.vec_id < 1000 AND b.vec_id < 1000
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
         |GROUP BY same_label ORDER BY same_label""".stripMargin,
     "q22_ann_topk" ->
       """SELECT qid, rk, nid FROM (
@@ -647,7 +670,16 @@ object Queries {
     "q32_binary_plumbing" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | substr(sha256(text), 1, 16) AS content_key
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_distinct_counts" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q34_prefix_block_join" ->
+      """SELECT substr(a.c_name, 16, 3) AS blk, count(*) AS n_pairs
+        |FROM customer a JOIN customer b
+        | ON substr(a.c_name, 16, 3) = substr(b.c_name, 16, 3)
+        |  AND a.c_custkey < b.c_custkey
+        |GROUP BY blk ORDER BY blk""".stripMargin
   )
 
   /** All SQL-expressible queries. */
@@ -683,7 +715,9 @@ object Queries {
     "q29_text_quality" -> (q29_text_quality _),
     "q30_token_topk_per_lang" -> (q30_token_topk_per_lang _),
     "q31_fingerprint" -> (q31_fingerprint _),
-    "q32_binary_plumbing" -> (q32_binary_plumbing _)
+    "q32_binary_plumbing" -> (q32_binary_plumbing _),
+    "q33_distinct_counts" -> (q33_distinct_counts _),
+    "q34_prefix_block_join" -> (q34_prefix_block_join _)
   )
 
   // ---------------------------------------------------------------------
@@ -710,19 +744,20 @@ object Queries {
       .orderBy("record_id")
   }
 
-  /** xxhash64 MinHash-LSH self-join over documents (production blocking path). */
+  /** MinHash-LSH self-join over documents (production blocking path,
+    * native text_minhash expression). */
   def er_lsh_blocking(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-      .withColumn("sig", minhashSignature(shingles(tokens(col("text")), 3), 16))
+      .withColumn("sig", textMinhash(col("text"), 16, 3))
     d.select(col("doc_id"), explode(bandKeys(col("sig"), 8, 16)).as("bk"))
       .groupBy("bk").agg(count(lit(1)).as("n"))
       .where(col("n") > 1).orderBy("bk")
   }
 
-  /** 64-bit production simhash (xxhash64 bit-vote). */
+  /** 64-bit production simhash (native xxhash64 bit-vote expression). */
   def er_simhash64(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), simhash64(tokens(col("text"))).as("simhash"))
+      .select(col("doc_id"), textSimhash(col("text")).as("simhash"))
       .orderBy("doc_id")
 
   /** Soundex equality scoring (F2) — DuckDB lacks soundex; ScalaTest-pinned. */
@@ -743,13 +778,59 @@ object Queries {
       .orderBy("k1", "k2")
   }
 
+  /** MinHash-LSH near-dup dedup over documents (xxhash64 production path). */
+  def er_minhash_dedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
+      threshold = 0.2).orderBy("id1", "id2")
+
+  /** SimHash near-dup pairs over documents. */
+  def er_simhash_dedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+      maxHamming = 12).orderBy("id1", "id2")
+
+  /** Embedding-cosine near-dup via hyperplane LSH buckets. */
+  def er_cosine_dedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.cosinePairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+      threshold = 0.4).orderBy("id1", "id2")
+
+  /** IVF-style ANN top-k for the first 10 query vectors. */
+  def er_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.SimilaritySearch.ivfTopK(e.where(col("vec_id") < 10), e,
+      "embedding", "vec_id", k = 3).orderBy("qid", "rank")
+  }
+
+  /** Heuristic language id + quality + token counting over documents. */
+  def er_text_analysis(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.ops.TextAnalysis.tokenCounts(
+      graft.ops.TextAnalysis.qualityFeatures(
+        graft.ops.TextAnalysis.langId(d, "text"), "text"), "text")
+      .select("doc_id", "pred_lang", "n_words", "repetition", "ws_tokens",
+        "approx_bpe_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal decode/featurize plumbing over a synthetic media table. */
+  def er_multimodal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.decodeAndFeaturize(
+      graft.ops.Multimodal.syntheticMedia(s, 200), featureDim = 8)
+      .toDF().select("media_id", "kind", "n_bytes", "width", "height", "n_frames")
+      .orderBy("media_id")
+
   val nonSqlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_pipeline_golden" -> (er_pipeline_golden _),
     "er_cc_fixpoint" -> (er_cc_fixpoint _),
     "er_lsh_blocking" -> (er_lsh_blocking _),
     "er_simhash64" -> (er_simhash64 _),
     "er_soundex" -> (er_soundex _),
-    "er_jaro_winkler" -> (er_jaro_winkler _)
+    "er_jaro_winkler" -> (er_jaro_winkler _),
+    "er_minhash_dedup" -> (er_minhash_dedup _),
+    "er_simhash_dedup" -> (er_simhash_dedup _),
+    "er_cosine_dedup" -> (er_cosine_dedup _),
+    "er_ann_ivf" -> (er_ann_ivf _),
+    "er_text_analysis" -> (er_text_analysis _),
+    "er_multimodal" -> (er_multimodal _)
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = sqlQueries ++ nonSqlQueries

@@ -13,8 +13,18 @@ object GraftFunctions {
 
   /** Register SQL-callable custom expressions on a session. Idempotent. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinklerExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sig_overlap", exprs => SigOverlapExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "text_minhash", exprs => TextMinHashExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "text_simhash", exprs => TextSimHashExpr(exprs(0)), "built-in")
   }
 
   /** Jaro-Winkler similarity column over the native Catalyst expression. */
@@ -51,11 +61,16 @@ object GraftFunctions {
     when(uni === 0, 0.0).otherwise(inter / uni)
   }
 
-  /** Cosine similarity over ArrayType(Float/Double) columns via zip_with +
-    * aggregate — stays in Catalyst, no UDF (SURVEY.md F6; reference
-    * `1 - COSINE_DISTANCE`, bigquery_utils.py:417-424). Accumulates in
-    * double regardless of input element type. */
-  def cosineSim(a: Column, b: Column): Column = {
+  /** Cosine similarity over ArrayType(Float/Double) columns (SURVEY.md F6;
+    * reference `1 - COSINE_DISTANCE`, bigquery_utils.py:417-424) — native
+    * codegen'd expression; double accumulation, numerically identical to
+    * the HOF formulation below. */
+  def cosineSim(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
+  /** HOF formulation of cosine kept as a cross-check oracle for the native
+    * expression (zip_with + aggregate; CodegenFallback-interpreted). */
+  def cosineSimHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
     val na = aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
@@ -76,12 +91,23 @@ object GraftFunctions {
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
-  /** MinHash signature: array of `numHashes` min-over-shingles xxhash64
-    * values. mllib's MinHashLSH exists but a hand-rolled column expr keeps
-    * the whole plan codegen'd and deterministic (SURVEY.md §7.4). */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+  /** MinHash signature: array of `numHashes` min-over-shingles hash values.
+    * mllib's MinHashLSH exists but a hand-rolled column expr keeps the whole
+    * plan deterministic (SURVEY.md §7.4). Each shingle STRING is hashed
+    * exactly once; the k hash functions are derived by rehashing the 8-byte
+    * value (fixed-width xxhash64), which is ~16x cheaper than hashing the
+    * string per slot. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
+    val baseHashes = transform(shingleArr, s => xxhash64(s))
     transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleArr, s => xxhash64(s, seed))))
+      seed => array_min(transform(baseHashes, h => xxhash64(h, seed))))
+  }
+
+  /** MinHash signature straight from a text column — native zero-allocation
+    * expression (tokenize + shingle + hash in one pass over the UTF-8
+    * bytes); the production blocking path. */
+  def textMinhash(text: Column, numHashes: Int, shingle: Int): Column =
+    call_function("text_minhash", text, lit(numHashes), lit(shingle))
 
   /** LSH band keys from a minhash signature: `bands` keys, each hashing
     * r = |sig|/bands consecutive signature slots together with the band id
@@ -93,13 +119,16 @@ object GraftFunctions {
   }
 
   /** Estimated Jaccard from two minhash signatures: fraction of equal slots
-    * (unbiased estimator — the "vector" strategy analogue, SURVEY.md F6/F13). */
+    * (unbiased estimator — the "vector" strategy analogue, SURVEY.md F6/F13).
+    * Native codegen'd expression. */
   def minhashJaccardEst(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1.0).otherwise(0.0)),
-      lit(0.0), (acc, x) => acc + x) / size(sigA).cast("double")
+    call_function("sig_overlap", sigA, sigB)
 
-  /** 64-bit SimHash over a token array: per-bit majority vote of token
-    * xxhash64 bits (SURVEY.md §7.4 "bit-vote over token hashes"). */
+  /** 64-bit SimHash straight from a text column — native expression. */
+  def textSimhash(text: Column): Column = call_function("text_simhash", text)
+
+  /** HOF SimHash over a token array (cross-check formulation): per-bit
+    * majority vote of token xxhash64 bits (SURVEY.md §7.4). */
   def simhash64(toks: Column): Column = {
     val votes = transform(sequence(lit(0), lit(63)), bit =>
       aggregate(toks, lit(0L),

@@ -21,12 +21,11 @@ object Blocking {
     * Block keys are strings namespaced by family so families never collide.
     */
   def blockKeys(clean: DataFrame, cfg: MatchConfig): DataFrame = {
-    val toks = tokens(col("text"))
-    val sig = minhashSignature(shingles(toks, cfg.shingleSize), cfg.numHashes)
+    graft.functions.GraftFunctions.register(clean.sparkSession)
     val bands = bandKeys(col("sig"), cfg.bands, cfg.numHashes)
 
     val withKeys = clean
-      .withColumn("sig", sig)
+      .withColumn("sig", textMinhash(col("text"), cfg.numHashes, cfg.shingleSize))
       .withColumn("keys",
         array_union(
           array(concat(lit("d:"), col("domain"))),
@@ -37,7 +36,8 @@ object Blocking {
 
   /** Per-record minhash signature (reused by scoring as the vector-strategy
     * feature, so it is computed once here). */
-  def withSignature(clean: DataFrame, cfg: MatchConfig): DataFrame =
-    clean.withColumn("sig",
-      minhashSignature(shingles(tokens(col("text")), cfg.shingleSize), cfg.numHashes))
+  def withSignature(clean: DataFrame, cfg: MatchConfig): DataFrame = {
+    graft.functions.GraftFunctions.register(clean.sparkSession)
+    clean.withColumn("sig", textMinhash(col("text"), cfg.numHashes, cfg.shingleSize))
+  }
 }

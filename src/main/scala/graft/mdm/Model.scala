@@ -59,8 +59,11 @@ case class MatchConfig(
     numHashes: Int = 16, // minhash signature length
     bands: Int = 8, // b bands x r rows; r = numHashes / bands
     shingleSize: Int = 3,
-    // Skew control: blocks larger than this are triangle-split (SURVEY.md §4)
-    maxBlockSize: Int = 2000,
+    // Skew control: blocks larger than this are triangle-split (SURVEY.md §4).
+    // Sized so one cell holds ~2*cap members => ~2*cap^2 comparisons (~125k),
+    // small enough that a hot key fans out across many tasks instead of
+    // serializing on 2-3 giant ones.
+    maxBlockSize: Int = 250,
     // CC loop
     maxIterations: Int = 50,
     checkpointEvery: Int = 3)

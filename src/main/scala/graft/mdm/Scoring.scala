@@ -14,6 +14,7 @@ object Scoring {
 
   /** Per-strategy feature columns over an attached pair frame (a_*, b_*). */
   def features(pairs: DataFrame, cfg: MatchConfig): DataFrame = {
+    graft.functions.GraftFunctions.register(pairs.sparkSession)
     // F5 exact: canonical url equality OR byte-identical content
     // (analogue of email/phone/id exact keys, bigquery_utils.py:313-338;
     // each hit 1.0, overall = GREATEST).

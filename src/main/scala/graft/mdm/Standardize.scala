@@ -11,6 +11,38 @@ import org.apache.spark.sql.functions._
   */
 object Standardize {
 
+  /** Output column set (CleanPage shape). */
+  val cleanColumns: Seq[String] = Seq("record_id", "url", "url_canon", "domain",
+    "slug", "warc_ts", "text", "text_md5", "head", "lang", "n_tokens")
+
+  /** The reference's literal standardization scalars (P1-P5), kept verbatim
+    * for record-shaped data (used when the input is customer-like rather
+    * than page-like; unit-pinned in StandardizeSpec):
+    * /root/reference/batch_mdm_gcp/bigquery_utils.py:99-125 and the
+    * streaming twin streaming_processor.py:43-70. */
+  object ref {
+    import org.apache.spark.sql.Column
+    /** P1: TRIM(UPPER(REGEXP_REPLACE(x, '[^a-zA-Z\s]', ''))) */
+    def nameClean(c: Column): Column =
+      trim(upper(regexp_replace(c, "[^a-zA-Z\\s]", "")))
+    /** P2: LOWER(TRIM(email)) */
+    def emailClean(c: Column): Column = lower(trim(c))
+    /** P3: strip non-digits */
+    def phoneClean(c: Column): Column = regexp_replace(c, "[^0-9]", "")
+    /** P4: word-boundary address abbreviations then TRIM(UPPER(...)) —
+      * STREET->ST, AVENUE->AVE, BOULEVARD->BLVD, ROAD->RD, DRIVE->DR
+      * (bigquery_utils.py:110-122). */
+    def addressClean(c: Column): Column = {
+      val up = upper(c)
+      val steps = Seq(
+        "\\bSTREET\\b" -> "ST", "\\bAVENUE\\b" -> "AVE",
+        "\\bBOULEVARD\\b" -> "BLVD", "\\bROAD\\b" -> "RD", "\\bDRIVE\\b" -> "DR")
+      trim(steps.foldLeft(up) { case (col0, (pat, rep)) => regexp_replace(col0, pat, rep) })
+    }
+    /** P5: UPPER(TRIM(x)) */
+    def upperTrim(c: Column): Column = upper(trim(c))
+  }
+
   /** pages(url, warc_ts, html, text, lang) -> CleanPage columns.
     *
     * Mapping of reference scalar ops (SURVEY.md §2.2):
@@ -47,7 +79,6 @@ object Standardize {
         substring(sha2(concat_ws("|", col("url"), col("warc_ts").cast("string")), 256), 1, 36))
       // one row per (url, warc_ts): re-crawled identical captures collapse
       .dropDuplicates("record_id")
-      .select("record_id", "url", "url_canon", "domain", "slug",
-        "warc_ts", "text", "text_md5", "head", "lang", "n_tokens")
+      .select(cleanColumns.map(col): _*)
   }
 }

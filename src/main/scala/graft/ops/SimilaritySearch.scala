@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.GraftFunctions.cosineSim
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder brief): brute-force cosine top-k as the correctness baseline,
+  * plus two scale paths — sign-bit LSH buckets and an IVF-style coarse
+  * quantizer with multi-probe. All deterministic (hyperplanes derived from
+  * hashed index positions, centroids from a deterministic sample), no UDFs.
+  */
+object SimilaritySearch {
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a value in [-1, 1) derived from xxhash64 — reproducible across runs. */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(lit(p), i, lit("hyperplane")), lit(2000001L)) - 1000000L)
+      .cast("double") / 1000000.0
+
+  /** LSH bucket id from `signBits` random-hyperplane sign bits. */
+  def hyperplaneBucket(emb: Column, signBits: Int): Column = {
+    val bits = (0 until signBits).map { p =>
+      val dot = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, 1L << p).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Brute-force exact top-k by cosine: (qid, rank, nid, cos). Queries are
+    * broadcast against the corpus — one scan, no shuffle of the corpus. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, embCol: String,
+      idCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
+    val c = corpus.select(col(idCol).as("nid"), col(embCol).as("ne"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", cosineSim(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos")
+  }
+
+  /** IVF-style ANN:
+    *  1. coarse centroids = deterministic sample of the corpus (every
+    *     (n/nCentroids)-th row by hash order) — stand-in for k-means, same
+    *     plumbing (a real trainer can swap in);
+    *  2. each corpus vector assigned to its nearest centroid (broadcast);
+    *  3. queries probe the `nProbe` nearest centroids and search only those
+    *     inverted lists (equi-join on centroid id).
+    * Returns (qid, rank, nid, cos) top-k per query. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, embCol: String,
+      idCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nid"), col(embCol).as("ne"))
+    val centroids = c
+      .withColumn("h", xxhash64(col("nid")))
+      .orderBy("h").limit(nCentroids)
+      .select(col("nid").as("cid"), col("ne").as("ce"))
+
+    // invert: nearest centroid per corpus vector
+    val wAssign = Window.partitionBy(col("nid")).orderBy(col("ccos").desc, col("cid"))
+    val inverted = c.join(broadcast(centroids), lit(true))
+      .withColumn("ccos", cosineSim(col("ne"), col("ce")))
+      .withColumn("r", row_number().over(wAssign))
+      .where(col("r") === 1)
+      .select(col("cid"), col("nid"), col("ne"))
+
+    // probe lists per query
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("ccos", cosineSim(col("qe"), col("ce")))
+      .withColumn("r", row_number().over(wProbe))
+      .where(col("r") <= nProbe)
+      .select(col("qid"), col("qe"), col("cid"))
+
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    probes.join(inverted, Seq("cid"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("cos", cosineSim(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "nid", "cos")
+  }
+}

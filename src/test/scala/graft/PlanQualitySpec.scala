@@ -1,0 +1,66 @@
+package graft
+
+import graft.SparkSpec
+import graft.mdm._
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the plans must be the ones we'd want at 100 TB,
+  * not just ones that pass (builder brief: pushdown, broadcast, no cartesian
+  * products, codegen on hot paths).
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and column pruning reach the parquet scan (q02)") {
+    val p = plan(Queries.q02_filter_pushdown(spark, dir))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("LessThan(l_shipdate") || p.contains("l_shipdate"), p)
+    // projection pruning: untouched wide columns must not be read
+    assert(!p.contains("l_comment") && !p.contains("l_returnflag"),
+      "scan reads columns the query never uses")
+  }
+
+  test("small dimensions broadcast (q04)") {
+    val p = plan(Queries.q04_broadcast_join(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "dimension join fell back to sort-merge despite broadcast hint")
+  }
+
+  test("blocked pair generation is an equi-join, never a cartesian product") {
+    val clean = Standardize(PageGen.pages(spark, 30))
+    val keys = Blocking.blockKeys(clean, MatchConfig())
+    val p = plan(Pairs.candidates(keys, MatchConfig()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation degenerated to a cross join:\n$p")
+  }
+
+  test("scoring stage stays inside whole-stage codegen (no UDF black boxes)") {
+    // AQE hides codegen spans until the final plan; disable it for the
+    // assertion so the executed plan string is concrete.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cfg = MatchConfig()
+      val clean = Standardize(PageGen.pages(spark, 30))
+      val withSig = Blocking.withSignature(clean, cfg)
+      val cands = Pairs.candidates(Blocking.blockKeys(clean, cfg), cfg)
+      val scored = Scoring(Pairs.attach(cands, withSig), cfg)
+      val p = plan(scored)
+      // codegen'd operators print with a "*(stageId)" prefix
+      assert(p.contains("*("), s"no whole-stage-codegen spans in scoring plan:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        "scoring plan contains non-codegen UDF nodes")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("aggregates are partial+final hash aggregates (map-side combine)") {
+    val p = plan(Queries.q01_agg_lineitem(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.split("HashAggregate").length >= 3,
+      "expected partial + final aggregation stages")
+  }
+}

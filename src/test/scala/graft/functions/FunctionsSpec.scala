@@ -119,6 +119,49 @@ class FunctionsSpec extends SparkSpec {
     assert(ham(h("a"), h("c")) < ham(h("a"), h("d")))
   }
 
+  // --- Native expressions vs HOF cross-checks -------------------------------
+  test("native cosine_sim is bit-identical to the HOF formulation") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val diff = a.join(b, col("v1") < col("v2")).limit(20000)
+      .select((cosineSim(col("e1"), col("e2")) -
+        cosineSimHof(col("e1"), col("e2"))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0, s"native vs HOF cosine diverged by $diff")
+  }
+
+  test("native text_minhash: identical text -> identical sig; sig length k; deterministic") {
+    val df = spark.createDataFrame(Seq(
+      ("a", "w1 w2 w3 w4 w5 w6"),
+      ("b", "w1 w2 w3 w4 w5 w6"),
+      ("c", "z1 z2 z3 z4 z5 z6"),
+      ("d", "one two"))).toDF("id", "t")
+    val sigs = df.select(col("id"), textMinhash(col("t"), 16, 3).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("a") == sigs("b"))
+    assert(sigs("a") != sigs("c"))
+    assert(sigs.values.forall(_.length == 16))
+    assert(sigs("d").length == 16) // short doc degrades to whole-text shingle
+  }
+
+  test("native text_simhash is bit-identical to the HOF formulation") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val bad = d.select(
+      textSimhash(col("text")).as("a"),
+      simhash64(tokens(col("text"))).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(bad == 0L)
+  }
+
+  test("native sig_overlap equals manual slot-equality fraction") {
+    val df = spark.createDataFrame(Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 9L, 4L)),
+      (Seq(1L, 2L), Seq(1L, 2L)))).toDF("a", "b")
+    val got = df.select(minhashJaccardEst(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(got(0) == 0.75 && got(1) == 1.0)
+  }
+
   // --- Master id -------------------------------------------------------------
   test("masterId = first 36 hex of sha256 with key prefix (reference F12)") {
     val df = spark.createDataFrame(Seq(Tuple1("alice@example.com"))).toDF("k")
