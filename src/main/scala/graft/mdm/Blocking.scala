@@ -20,18 +20,21 @@ object Blocking {
   /** clean pages -> exploded (record_id, block_key) rows.
     * Block keys are strings namespaced by family so families never collide.
     */
-  def blockKeys(clean: DataFrame, cfg: MatchConfig): DataFrame = {
-    graft.functions.GraftFunctions.register(clean.sparkSession)
-    val bands = bandKeys(col("sig"), cfg.bands, cfg.numHashes)
+  def blockKeys(clean: DataFrame, cfg: MatchConfig): DataFrame =
+    blockKeysFromSig(withSignature(clean, cfg), cfg)
 
-    val withKeys = clean
-      .withColumn("sig", textMinhash(col("text"), cfg.numHashes, cfg.shingleSize))
+  /** Same, over a frame that already carries `sig` — the signature is the
+    * most expensive standardization product, so pipelines compute it ONCE
+    * (persisted) and feed both blocking and scoring from it. */
+  def blockKeysFromSig(withSig: DataFrame, cfg: MatchConfig): DataFrame = {
+    graft.functions.GraftFunctions.register(withSig.sparkSession)
+    val bands = bandKeys(col("sig"), cfg.bands, cfg.numHashes)
+    withSig
       .withColumn("keys",
         array_union(
           array(concat(lit("d:"), col("domain"))),
           transform(bands, b => concat(lit("b:"), b))))
-
-    withKeys.select(col("record_id"), explode(col("keys")).as("block_key"))
+      .select(col("record_id"), explode(col("keys")).as("block_key"))
   }
 
   /** Per-record minhash signature (reused by scoring as the vector-strategy

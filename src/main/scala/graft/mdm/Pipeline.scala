@@ -25,8 +25,11 @@ object Pipeline {
     import org.apache.spark.storage.StorageLevel
 
     val clean = Standardize(pages).persist(StorageLevel.MEMORY_AND_DISK)
-    val withSig = Blocking.withSignature(clean, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    val keys = Blocking.blockKeys(clean, cfg)
+    // signature computed ONCE; blocking and scoring both read it from here
+    val withSig = Blocking.withSignature(clean, cfg)
+      .select(Scoring.attachColumns.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keys = Blocking.blockKeysFromSig(withSig, cfg)
     val cands = Pairs.candidates(keys, cfg)
     val attached = Pairs.attach(cands, withSig)
     val scored = Scoring(attached, cfg).persist(StorageLevel.MEMORY_AND_DISK)
@@ -55,11 +58,12 @@ object Pipeline {
       else store.commit(Standardize(pages), "standardize")
 
     val withSig = Blocking.withSignature(clean, cfg)
+      .select(Scoring.attachColumns.map(col): _*)
 
     val scored =
       if (store.has("scored")) store.read(spark, "scored")
       else {
-        val keys = Blocking.blockKeys(clean, cfg)
+        val keys = Blocking.blockKeysFromSig(withSig, cfg)
         val cands = Pairs.candidates(keys, cfg)
         val nCands = cands.count() // lineage counter: candidates generated
         val attached = Pairs.attach(cands, withSig)

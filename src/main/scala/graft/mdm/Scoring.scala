@@ -12,6 +12,13 @@ import graft.functions.GraftFunctions._
   */
 object Scoring {
 
+  /** The only columns scoring reads from each side. Attach joins shuffle one
+    * copy of the pair frame per side — carrying the full `text` (the widest
+    * column, unused by scoring) through those shuffles triples the bytes
+    * moved at 100 TB. Callers project to this set before Pairs.attach. */
+  val attachColumns: Seq[String] = Seq("record_id", "url_canon", "domain",
+    "slug", "warc_ts", "text_md5", "head", "lang", "n_tokens", "sig")
+
   /** Per-strategy feature columns over an attached pair frame (a_*, b_*). */
   def features(pairs: DataFrame, cfg: MatchConfig): DataFrame = {
     graft.functions.GraftFunctions.register(pairs.sparkSession)

@@ -55,14 +55,15 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig()) {
     // old-old pairs were already decided; their edges are committed state.
     val withSig = Blocking.withSignature(allClean, cfg)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val keys = Blocking.blockKeys(allClean, cfg)
+    val keys = Blocking.blockKeysFromSig(withSig, cfg)
     val cands = Pairs.candidates(keys, cfg)
     val touching = cands
       .join(newIds.withColumnRenamed("record_id", "id1"), Seq("id1"), "left_semi")
       .union(cands.join(newIds.withColumnRenamed("record_id", "id2"), Seq("id2"), "left_semi"))
       .distinct()
 
-    val scored = Scoring(Pairs.attach(touching, withSig), cfg)
+    val scored = Scoring(
+      Pairs.attach(touching, withSig.select(Scoring.attachColumns.map(col): _*)), cfg)
     val newEdges = scored
       .where(col("match_decision").isin("auto_merge", "human_review"))
       .select(col("record1_id").as("src"), col("record2_id").as("dst"))
