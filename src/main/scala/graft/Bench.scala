@@ -69,13 +69,17 @@ object Bench {
     val benchEntities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "200000").toInt
 
     // --- part 1: contract queries ---------------------------------------
+    // Failures are RECORDED, never masked (VERDICT r1: a broken query must
+    // not look like a fast query).
     var spark = session(cpus)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch {
-        case _: Throwable =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors(name) = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
+            .replaceAll("[\"\\\\]", "'")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
@@ -117,11 +121,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val scaling =
       f"""{"pages":$nPages,"pairs_scored":$pairs32,"local8_sec":$sec8%.2f,"local32_sec":$sec32%.2f,""" +
         f""""pairs_per_sec_8":$thr8%.0f,"pairs_per_sec_32":$thr32%.0f,"scaling_efficiency":$eff%.3f}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir","scaling":$scaling}""")
     // cleanup temp corpus
     try {
       def rm(p: java.io.File): Unit = {

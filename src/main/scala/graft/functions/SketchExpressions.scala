@@ -39,11 +39,14 @@ case class TextMinHashExpr(child: Expression, numHashes: Int, shingleSize: Int)
 }
 
 object TextMinHash {
-  /** Zero-copy shingle minhash over the UTF-8 bytes. Space (0x20) never
-    * occurs inside a multi-byte UTF-8 sequence, so byte-level splitting is
-    * exact. Empty tokens are skipped (same semantics as
-    * filter(split(text,' '), _ != "")); documents shorter than the shingle
-    * size hash the whole token span (same degrade as GraftFunctions.shingles). */
+  /** Shingle minhash over the UTF-8 bytes. Space (0x20) never occurs inside
+    * a multi-byte UTF-8 sequence, so byte-level splitting is exact. Empty
+    * tokens are skipped and shingle tokens are joined with a SINGLE space
+    * before hashing, so each shingle hash equals xxhash64 of the
+    * concat_ws(" ", ...) shingle string on ALL inputs — including runs of
+    * consecutive spaces (whitespace-normalization invariant pinned in
+    * FunctionsSpec). Documents shorter than the shingle size hash the whole
+    * (normalized) token span. */
   def signature(s: UTF8String, k: Int, n: Int): ArrayData = {
     val bytes = s.getBytes
     val len = bytes.length
@@ -52,6 +55,7 @@ object TextMinHash {
     var i = 0
     val starts = new Array[Int](len / 2 + 1)
     val ends = new Array[Int](len / 2 + 1)
+    var maxSpan = 0 // longest n-token shingle in NORMALIZED bytes
     while (i < len) {
       while (i < len && bytes(i) == ' ') i += 1
       if (i < len) {
@@ -65,12 +69,32 @@ object TextMinHash {
     java.util.Arrays.fill(mins, Long.MaxValue)
     val nSh = if (nTok < n) (if (nTok > 0) 1 else 0) else nTok - n + 1
     val span = math.min(n, math.max(nTok, 1))
+    // one reusable normalization buffer per call (not per shingle):
+    // upper-bounded by the longest span of `span` tokens + separators
     var sh = 0
     while (sh < nSh) {
-      val from = starts(sh)
-      val to = ends(math.min(sh + span - 1, nTok - 1))
-      val h = XXH64.hashUnsafeBytes(bytes,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, to - from, 42L)
+      var t = sh
+      var need = span - 1 // single-space separators
+      val last = math.min(sh + span - 1, nTok - 1)
+      while (t <= last) { need += ends(t) - starts(t); t += 1 }
+      if (need > maxSpan) maxSpan = need
+      sh += 1
+    }
+    val buf = new Array[Byte](math.max(maxSpan, 0))
+    sh = 0
+    while (sh < nSh) {
+      val last = math.min(sh + span - 1, nTok - 1)
+      var pos = 0
+      var t = sh
+      while (t <= last) {
+        if (t > sh) { buf(pos) = ' '; pos += 1 }
+        val tl = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), buf, pos, tl)
+        pos += tl
+        t += 1
+      }
+      val h = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, pos, 42L)
       var j = 0
       while (j < k) {
         val hj = XXH64.hashLong(h, j.toLong)

@@ -22,26 +22,49 @@ object ConnectedComponents {
     * `allNodes` (no edges) become singleton clusters (reference J10,
     * bigquery_utils.py:677-682).
     */
-  def apply(edges: DataFrame, allNodes: DataFrame, cfg: MatchConfig = MatchConfig()): DataFrame = {
+  def apply(edges: DataFrame, allNodes: DataFrame, cfg: MatchConfig = MatchConfig()): DataFrame =
+    applyWithStats(edges, allNodes, cfg)._1
+
+  /** Same, returning the fixpoint iteration count as a lineage counter.
+    *
+    * Lineage management: one digest ACTION per iteration materializes the
+    * new edge set (the convergence test needs it anyway); the previous
+    * iteration's digest is reused, never recomputed. Lineage is CUT every
+    * `cfg.checkpointEvery` iterations — `cfg.checkpointDir`-backed reliable
+    * checkpoint when set (survives executor loss on a real cluster),
+    * localCheckpoint otherwise (local-mode default) — and merely
+    * persist()-ed in between, so plans stay shallow without paying a
+    * checkpoint write per round.
+    */
+  def applyWithStats(edges: DataFrame, allNodes: DataFrame,
+      cfg: MatchConfig = MatchConfig()): (DataFrame, Int) = {
     val spark = edges.sparkSession
+    cfg.checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (cfg.checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
       .where(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
 
-    var e = e0.localCheckpoint(true)
+    var e = cut(e0)
+    var prevDigest = digest(e)
+    var toUnpersist: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < cfg.maxIterations) {
-      val afterLarge = largeStar(e)
-      val afterSmall = smallStar(afterLarge)
-      val next = afterSmall.localCheckpoint(true)
-      // fixpoint test: edge set unchanged (cheap order-independent digest)
-      val d1 = digest(e)
-      val d2 = digest(next)
-      converged = d1 == d2
-      e = next
       iter += 1
+      val afterSmall = smallStar(largeStar(e))
+      val next =
+        if (iter % cfg.checkpointEvery == 0) cut(afterSmall)
+        else afterSmall.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextDigest = digest(next) // action: materializes `next`
+      toUnpersist.foreach(_.unpersist())
+      toUnpersist = if (iter % cfg.checkpointEvery == 0) None else Some(next)
+      converged = nextDigest == prevDigest
+      prevDigest = nextDigest
+      e = next
     }
 
     // e is now a star forest: (child -> root). Roots map to themselves.
@@ -50,10 +73,11 @@ object ConnectedComponents {
       .groupBy("record_id").agg(min("cluster_id").as("cluster_id"))
 
     // singletons: nodes with no edges cluster to themselves
-    allNodes.select(col("record_id"))
+    val out = allNodes.select(col("record_id"))
       .join(assign, Seq("record_id"), "left")
       .select(col("record_id"),
         coalesce(col("cluster_id"), col("record_id")).as("cluster_id"))
+    (out, iter)
   }
 
   /** Large-star: for every node u, connect all strictly-larger neighbors to

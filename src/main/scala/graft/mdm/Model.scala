@@ -64,12 +64,23 @@ case class MatchConfig(
     // small enough that a hot key fans out across many tasks instead of
     // serializing on 2-3 giant ones.
     maxBlockSize: Int = 250,
-    // CC loop
+    // CC loop: lineage cut every `checkpointEvery` iterations (persist-only
+    // in between); `checkpointDir` switches the cut from localCheckpoint
+    // (executor-memory, local-mode default) to a reliable HDFS/object-store
+    // checkpoint that survives executor loss on a real cluster.
     maxIterations: Int = 50,
-    checkpointEvery: Int = 3)
+    checkpointEvery: Int = 3,
+    checkpointDir: Option[String] = None)
 
 object MatchConfig {
   /** Reference-faithful weights (bigquery_utils.py:596-604) for comparison runs. */
   val referenceWeights: MatchConfig =
     MatchConfig(wExact = 0.30, wFuzzy = 0.25, wVector = 0.20, wBusiness = 0.15, wAi = 0.10)
+
+  /** F11: the reference's 4-way STREAMING weight preset, kept verbatim
+    * (streaming_processor.py:25-31 — no AI strategy in the hot path; vector
+    * searches existing embeddings only). Decision thresholds are identical
+    * to batch ("aligned with batch", streaming_processor.py:34-37). */
+  val streaming: MatchConfig =
+    MatchConfig(wExact = 0.33, wFuzzy = 0.28, wVector = 0.22, wBusiness = 0.17, wAi = 0.0)
 }

@@ -135,4 +135,28 @@ object PageGen {
   /** Ground truth: distinct (url, entity_id). */
   def truth(pagesWithTruth: DataFrame): DataFrame =
     pagesWithTruth.select("url", "entity_id").distinct()
+
+  /** G6: streaming simulation with the reference's ~80% new / 20% drift mix
+    * (streaming notebook cell 14): batch b carries all records of entities
+    * "born" in b plus one DRIFT re-capture (query-string variant, +30d
+    * crawl time, same extracted text — a re-crawl) for a deterministic 20%
+    * bucket of entities born earlier. Returns pages + `batch` + `entity_id`;
+    * callers slice on `batch` and drop the truth columns. */
+  def driftStream(spark: SparkSession, nEntities: Int, nBatches: Int,
+      seed: Long = 42L): DataFrame = {
+    val pt = pagesWithTruth(spark, nEntities, hotEntities = 0, seed)
+    val perBatch = math.max(1, nEntities / nBatches)
+    val birth = least(lit(nBatches - 1), (col("entity_id") / perBatch).cast("int"))
+    val base = pt.withColumn("batch", birth)
+    val firstUrl = pt.groupBy("entity_id").agg(min("url").as("url"))
+    val drift = pt.join(firstUrl, Seq("entity_id", "url")) // one capture per entity
+      .where(pmod(xxhash64(col("entity_id"), lit(seed), lit("drift")), lit(100L)) < 20)
+      .withColumn("b0", birth)
+      .where(col("b0") < nBatches - 1)
+      .withColumn("batch", col("b0") + 1)
+      .withColumn("url", concat(col("url"), lit("?drift=recrawl")))
+      .withColumn("warc_ts", col("warc_ts") + expr("INTERVAL 30 DAYS"))
+      .drop("b0")
+    base.unionByName(drift.select(base.columns.map(col): _*))
+  }
 }

@@ -1,0 +1,70 @@
+package graft.mdm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** F8 plug-point: the AI/LLM pair-scoring strategy
+  * (/root/reference/batch_mdm_gcp/bigquery_utils.py:478-556,
+  * AI.GENERATE_TABLE over a prompt per pair). The environment has no LLM, so
+  * the strategy is a Strategy-pattern trait: production wires an LLM-backed
+  * implementation; this repo ships a zero scorer (mirroring the reference's
+  * own streaming degradation, streaming_processor.py:208-213) and a
+  * deterministic heuristic stand-in that honors the reference's output
+  * contract (score+confidence in [0,1], gates score>0.4 AND confidence>0.6,
+  * bigquery_utils.py:536-537).
+  */
+trait PairScorer extends Serializable {
+
+  /** AI-strategy score column over an ATTACHED pair frame (a_*, b_* sides).
+    * Must be in [0,1]; 0.0 = no signal. */
+  def score(pairs: DataFrame): Column
+
+  /** J5/O4 cost cap: when set, only this many pairs are AI-scored per run
+    * (reference `LIMIT 500`, bigquery_utils.py:498 — cost control). The
+    * selection is the deterministic hash-ordered prefix. */
+  def maxPairs: Option[Int] = None
+}
+
+/** Default: AI strategy off (weight 0 in MatchConfig; reference streaming
+  * path runs 4-way for the same reason). */
+object ZeroPairScorer extends PairScorer {
+  override def score(pairs: DataFrame): Column = lit(0.0)
+}
+
+/** Deterministic heuristic stand-in for the LLM scorer: "reads" both sides'
+  * text surfaces like the prompt does (name/slug + head/address fields when
+  * present) and emits a gated score. NOT a model — a contract-shaped
+  * placeholder so the ensemble, cost cap, and audit plumbing are exercised
+  * end-to-end (SURVEY.md §7.5.6). */
+class HeuristicPairScorer(sim: (Column, Column) => Column,
+    aCol: String, bCol: String, override val maxPairs: Option[Int] = Some(500))
+    extends PairScorer {
+  override def score(pairs: DataFrame): Column = {
+    val s = sim(col(aCol), col(bCol))
+    val confidence = when(col(aCol).isNotNull && col(bCol).isNotNull, 0.9).otherwise(0.0)
+    // reference gates: similarity > 0.4 AND confidence > 0.6, else no signal
+    when(s > 0.4 && confidence > 0.6, least(greatest(s, lit(0.0)), lit(1.0))).otherwise(0.0)
+  }
+}
+
+object PairScorer {
+
+  /** Apply a scorer to an attached pair frame honoring its cost cap: the
+    * capped variant scores only the deterministic hash-ordered first N pairs
+    * (TakeOrderedAndProject — no global sort materializes) and left-joins
+    * the scores back, exactly the reference's separate `ai_matches` table
+    * LEFT JOIN shape (bigquery_utils.py:568-583). */
+  def withAiScore(attached: DataFrame, scorer: PairScorer): DataFrame =
+    scorer.maxPairs match {
+      case None => attached.withColumn("ai_score", scorer.score(attached))
+      case Some(n) =>
+        val capped = attached
+          .orderBy(xxhash64(col("id1"), col("id2")))
+          .limit(n)
+        val scored = capped.select(col("id1"), col("id2"),
+          scorer.score(capped).as("ai_score_capped"))
+        attached.join(scored, Seq("id1", "id2"), "left")
+          .withColumn("ai_score", coalesce(col("ai_score_capped"), lit(0.0)))
+          .drop("ai_score_capped")
+    }
+}

@@ -54,17 +54,11 @@ object Scoring {
         when(tsDiffDays <= 7, 0.4).when(tsDiffDays <= 90, 0.2).otherwise(0.0) +
         when(lenRatio >= 0.8, 0.1).otherwise(0.0))
 
-    // F8 AI strategy: pluggable scorer, deterministic stub 0.0 in this env —
-    // mirrors the reference's own degradation (streaming runs with vector=0,
-    // streaming_processor.py:208-213).
-    val ai = lit(0.0)
-
     pairs
       .withColumn("exact_score", exact)
       .withColumn("fuzzy_score", fuzzy)
       .withColumn("vector_score", vector)
       .withColumn("business_score", business)
-      .withColumn("ai_score", ai)
   }
 
   /** F9 weighted ensemble + F10 decision thresholds (kept verbatim:
@@ -87,11 +81,17 @@ object Scoring {
       .when(col("combined_score") >= cfg.reviewThreshold, "medium")
       .otherwise("low")
 
-  /** Full scoring stage: features -> ensemble -> decision; keeps pairs above
-    * the reference's `combined_score > 0.3` potential-match gate
-    * (bigquery_utils.py:634). */
-  def apply(attachedPairs: DataFrame, cfg: MatchConfig): DataFrame =
-    features(attachedPairs, cfg)
+  /** Full scoring stage: features -> AI plug-point -> ensemble -> decision;
+    * keeps pairs above the reference's `combined_score > 0.3`
+    * potential-match gate (bigquery_utils.py:634).
+    *
+    * F8: `scorer` is the pluggable AI strategy (PairScorer). The default
+    * ZeroPairScorer mirrors the reference's streaming degradation
+    * (streaming_processor.py:208-213); an LLM-backed implementation slots in
+    * without touching the ensemble. */
+  def apply(attachedPairs: DataFrame, cfg: MatchConfig,
+      scorer: PairScorer = ZeroPairScorer): DataFrame =
+    PairScorer.withAiScore(features(attachedPairs, cfg), scorer)
       .withColumn("combined_score", combined(cfg))
       .withColumn("match_decision", decision(cfg))
       .withColumn("confidence_level", confidence(cfg))

@@ -72,7 +72,10 @@ object Standardize {
       .withColumn("slug", slug)
       .withColumn("text_md5", md5(col("text")))
       .withColumn("head", substring(col("text"), 1, 64))
-      .withColumn("n_tokens", size(split(col("text"), " ")))
+      // non-empty tokens only — size(split(text," ")) counts empties on
+      // double-spaced text and skews the length-ratio business rule
+      // (agrees with GraftFunctions.tokens, pinned in StandardizeSpec)
+      .withColumn("n_tokens", size(graft.functions.GraftFunctions.tokens(col("text"))))
       // Deterministic record id — never uuid() (SURVEY.md P10 note):
       // resumable re-runs must produce identical ids.
       .withColumn("record_id",

@@ -13,18 +13,20 @@ import graft.functions.GraftFunctions.cosineSim
   */
 object SimilaritySearch {
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a value in [-1, 1) derived from xxhash64 — reproducible across runs. */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(lit(p), i, lit("hyperplane")), lit(2000001L)) - 1000000L)
+  /** Deterministic pseudo-random hyperplane component for (table t, plane p,
+    * dim i): a value in [-1, 1) derived from xxhash64 — reproducible across
+    * runs. Distinct `table` values give independent hyperplane sets
+    * (multi-table LSH). */
+  private def planeComponent(t: Int, p: Int, i: Column): Column =
+    (pmod(xxhash64(lit(t), lit(p), i, lit("hyperplane")), lit(2000001L)) - 1000000L)
       .cast("double") / 1000000.0
 
   /** LSH bucket id from `signBits` random-hyperplane sign bits. */
-  def hyperplaneBucket(emb: Column, signBits: Int): Column = {
+  def hyperplaneBucket(emb: Column, signBits: Int, table: Int = 0): Column = {
     val bits = (0 until signBits).map { p =>
       val dot = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+          (x, i) => x.cast("double") * planeComponent(table, p, i)),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, 1L << p).otherwise(0L)
     }

@@ -145,6 +145,22 @@ class FunctionsSpec extends SparkSpec {
     assert(sigs("d").length == 16) // short doc degrades to whole-text shingle
   }
 
+  test("native text_minhash: whitespace-normalized — multi-space text == single-space text") {
+    // ADVICE r1: runs of consecutive spaces must not change shingle hashes
+    // (tokens are joined with a single space before hashing).
+    val df = spark.createDataFrame(Seq(
+      ("single", "w1 w2 w3 w4 w5 w6"),
+      ("multi", "w1  w2   w3 w4  w5     w6"),
+      ("lead_trail", "  w1 w2 w3 w4 w5 w6  "),
+      ("short_multi", "one   two"),
+      ("short_single", "one two"))).toDF("id", "t")
+    val sigs = df.select(col("id"), textMinhash(col("t"), 16, 3).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs("single") == sigs("multi"))
+    assert(sigs("single") == sigs("lead_trail"))
+    assert(sigs("short_single") == sigs("short_multi"))
+  }
+
   test("native text_simhash is bit-identical to the HOF formulation") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
     val bad = d.select(
@@ -160,6 +176,22 @@ class FunctionsSpec extends SparkSpec {
       (Seq(1L, 2L), Seq(1L, 2L)))).toDF("a", "b")
     val got = df.select(minhashJaccardEst(col("a"), col("b"))).collect().map(_.getDouble(0))
     assert(got(0) == 0.75 && got(1) == 1.0)
+  }
+
+  // --- Jaro-Winkler conventions (oracle parity) ------------------------------
+  test("JW follows Winkler's strcmp95 conventions: floored transpositions, 0.7 boost gate") {
+    import graft.functions.JaroWinkler.similarity
+    // floored-transposition value verified against DuckDB jaro_winkler_similarity
+    assert(similarity("Customer#000018908", "Customer#000070869") == 0.9430555555555555)
+    assert(similarity("martha", "marhta") == 0.9611111111111111)
+    assert(similarity("abc", "abc") == 1.0)
+    assert(similarity("", "a") == 0.0)
+    // documented divergence from DuckDB (which returns 0.0): both-empty = 1.0
+    // like commons-text; oracle queries never feed empty strings
+    assert(similarity("", "") == 1.0)
+    // below the 0.7 jaro threshold NO prefix boost applies
+    val lowJaro = graft.functions.JaroWinkler.jaroSim("abcdef", "abzzzz")
+    assert(lowJaro <= 0.7 && similarity("abcdef", "abzzzz") == lowJaro)
   }
 
   // --- Master id -------------------------------------------------------------

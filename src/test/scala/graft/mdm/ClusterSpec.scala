@@ -65,4 +65,24 @@ class ClusterSpec extends SparkSpec {
     assert(got.filter(_._1 >= 40L).values.toSet == Set(40L))
     assert((31L to 39L).forall(i => got(i) == i))
   }
+
+  test("1000-hop chain converges with RELIABLE checkpointing exercised (VERDICT r1 #9)") {
+    // localCheckpoint keeps lineage cuts in executor memory — lost with the
+    // executor on a real cluster. cfg.checkpointDir switches the cut to a
+    // reliable store; this pins that path end-to-end and the O(log n)
+    // round bound on the worst-case (single long chain) topology.
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-cc-ck").toString
+    val n = 1001
+    val edges = spark.range(1000).selectExpr("id AS src", "id + 1 AS dst")
+    val nodes = spark.range(n.toLong).toDF("record_id")
+    val cfg = MatchConfig(checkpointDir = Some(ckDir), checkpointEvery = 2)
+    val (assign, iters) = ConnectedComponents.applyWithStats(edges, nodes, cfg)
+    val labels = assign.select("cluster_id").distinct().collect().map(_.getLong(0))
+    assert(labels.toSet == Set(0L), "1000-hop chain must collapse to cluster 0")
+    assert(iters <= 15, s"large-star/small-star should need O(log n) rounds, took $iters")
+    // the reliable checkpoint directory was actually written
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable checkpoint dir is empty — checkpoint() not exercised")
+  }
 }

@@ -1,0 +1,79 @@
+package graft.mdm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RecordScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("F2: soundex-equality scores a flat 0.8 inside fuzzy (bigquery_utils.py:362-366)") {
+    val df = Seq(
+      ("ROBERT SMITH", "RUPERT SMITH"), // Robert/Rupert -> R163 both
+      ("ROBERT SMITH", "WILLIAM SMITH"),
+      (null.asInstanceOf[String], "X")).toDF("a", "b")
+    val got = df.select(RecordScoring.soundexScore(
+      element_at(split(col("a"), " "), 1), element_at(split(col("b"), " "), 1)))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 0.8)
+    assert(got(1) == 0.0)
+    assert(got(2) == 0.0) // null name never matches
+  }
+
+  test("fuzzy overall = (GREATEST(name_edit, soundex, token) + addr_edit)/2 (py:399-402)") {
+    val df = Seq(("JON SMITH", "JOHN SMITH", "12 OAK ST", "12 OAK ST")).toDF("n1", "n2", "a1", "a2")
+    val r = df.select(
+      RecordScoring.editScore(col("n1"), col("n2")).as("ne"),
+      RecordScoring.soundexScore(col("n1"), col("n2")).as("ns"),
+      RecordScoring.tokenScore(col("n1"), col("n2")).as("nt"),
+      RecordScoring.fuzzyOverall(col("n1"), col("n2"), col("a1"), col("a2")).as("f")).head()
+    val expected = (Seq(r.getDouble(0), r.getDouble(1), r.getDouble(2)).max + 1.0) / 2.0
+    assert(math.abs(r.getDouble(3) - expected) < 1e-12)
+    // JON/JOHN: soundex equal (J500) -> 0.8 beats edit (0.9) ? edit = 1-1/10=0.9 -> greatest is edit
+    assert(r.getDouble(0) == 0.9 && r.getDouble(1) == 0.8)
+  }
+
+  test("token score counts duplicate tokens like the reference's correlated UNNEST (no DISTINCT)") {
+    val df = Seq(("A A B", "A C")).toDF("a", "b")
+    // tokens of a: [A, A, B]; both A's appear in b -> count 2; greatest(3,2)=3
+    val got = df.select(RecordScoring.tokenScore(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("business rules additive: company .3 + location .2 + age .4/.2 + income .1 (py:438-470)") {
+    val df = Seq(
+      ("Acme", "Acme", "SPRINGFIELD", "SPRINGFIELD", "CA", "CA",
+        java.sql.Date.valueOf("1980-01-01"), java.sql.Date.valueOf("1980-06-01"), 100, 90),
+      ("Acme", "Other", "A", "B", "CA", "TX",
+        java.sql.Date.valueOf("1980-01-01"), java.sql.Date.valueOf("1990-01-01"), 100, 10))
+      .toDF("c1", "c2", "t1", "t2", "s1", "s2", "d1", "d2", "i1", "i2")
+    val got = df.select(RecordScoring.businessOverall(
+      col("c1"), col("c2"), col("t1"), col("t2"), col("s1"), col("s2"),
+      col("d1"), col("d2"), col("i1"), col("i2"))).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - (0.3 + 0.2 + 0.4 + 0.1)) < 1e-12)
+    assert(got(1) == 0.0)
+  }
+
+  test("end-to-end RecordScoring over CustomerGen finds true duplicates (pairwise F1 >= 0.95)") {
+    val ct = CustomerGen.customersWithTruth(spark, 80).cache()
+    val std = CustomerGen.standardized(ct)
+    val scored = RecordScoring(std).cache()
+    val predicted = scored.where(col("match_decision").isin("auto_merge", "human_review"))
+      .select("record1_id", "record2_id")
+    // truth pairs limited to the same blocks RecordScoring searches
+    // (BASELINE.md: pairwise F1 at shared blocking keys)
+    val keyed = std.select(col("record_id"),
+      explode(array(concat(lit("z:"), col("zip_code")),
+        concat(lit("s:"), soundex(col("last_name"))))).as("bk"))
+      .join(ct.select("record_id", "entity_id"), Seq("record_id"))
+    val blocked = keyed.toDF("id1", "bk", "e1")
+      .join(keyed.toDF("id2", "bk", "e2"), Seq("bk"))
+      .where(col("id1") < col("id2")).select("id1", "id2", "e1", "e2").distinct()
+    val truth = blocked.where(col("e1") === col("e2")).select("id1", "id2")
+    val tp = predicted.toDF("id1", "id2").intersect(truth).count().toDouble
+    val fp = predicted.count() - tp
+    val fn = truth.count() - tp
+    val f1 = 2 * tp / (2 * tp + fp + fn)
+    assert(f1 >= 0.95, s"pairwise F1 $f1 (tp=$tp fp=$fp fn=$fn)")
+    ct.unpersist(); scored.unpersist()
+  }
+}

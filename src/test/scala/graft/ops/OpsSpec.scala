@@ -45,12 +45,43 @@ class OpsSpec extends SparkSpec {
   }
 
   test("simhash pairs: hamming 0 for exact dup, small for near dup") {
-    val p = Dedup.simhashPairs(docs, "text", "id", maxHamming = 16)
+    val p = Dedup.simhashPairs(docs, "text", "id", maxHamming = 8)
       .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(p((1L, 2L)) == 0)
-    p.get((1L, 3L)).foreach(h => assert(h <= 16))
+    p.get((1L, 3L)).foreach(h => assert(h <= 8))
     assert(!p.contains((1L, 4L)) || p((1L, 4L)) > 0)
+  }
+
+  test("simhash banding guarantee: every pair within maxHamming is recalled (pigeonhole)") {
+    // 40 docs: 20 identical + 20 distinct; identical docs share ALL bands.
+    // The guarantee to pin is structural: pairs found == pairs with
+    // hamming <= budget computed by brute force.
+    val d = (1L to 20L).map(i => (i, "shared text body with many common tokens here"))
+      .++((21L to 40L).map(i => (i, s"doc $i unique words w$i x$i y$i z$i q$i r$i")))
+      .toDF("id", "text")
+    val got = Dedup.simhashPairs(d, "text", "id", maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val h = d.select(col("id"), graft.functions.GraftFunctions.textSimhash(col("text")).as("sh"))
+    val brute = h.toDF("id1", "sh1").join(h.toDF("id2", "sh2"), col("id1") < col("id2"))
+      .where(bit_count(col("sh1").bitwiseXOR(col("sh2"))) <= 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("hot band key: skew-split keeps the pair set exact with a tiny block cap") {
+    // one boilerplate cluster: 60 identical docs -> every band key is shared
+    // by all 60; blockCap=10 forces triangle-splitting; the result must be
+    // exactly C(60,2) pairs (completeness under splitting), not fewer/more.
+    val hot = (1L to 60L).map(i => (i, "boilerplate web page body identical across the crawl"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashPairs(hot, "text", "id", threshold = 0.5, blockCap = 10)
+    assert(pairs.count() == 60L * 59 / 2)
+    // and the same for the cosine path
+    val vecs = (1L to 40L).map(i => (i, Seq(0.5f, 0.5f, 0.1f, 0.2f))).toDF("id", "emb")
+    val cp = Dedup.cosinePairs(vecs, "emb", "id", threshold = 0.99, signBits = 8,
+      tables = 2, blockCap = 8)
+    assert(cp.count() == 40L * 39 / 2)
   }
 
   test("embedding cosine dedup finds the duplicate vector via LSH buckets") {

@@ -6,16 +6,20 @@ import org.apache.spark.sql.functions._
 
 class IncrementalMdmSpec extends SparkSpec {
 
+  private def goldenKey(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("master_id", "canonical_url", "source_record_count")
+      .orderBy("master_id").collect().map(_.toString).toSeq
+
   test("incremental micro-batches converge to the same golden records as the batch run") {
     // Batch/streaming alignment is a headline reference property
     // (mdm_unified_implementation.md:185-186: same standardization, same
-    // scoring, stable ids across paths).
+    // scoring, stable ids across paths). The incremental path re-clusters
+    // only the CLUSTER-REP graph each batch, so equality here proves the
+    // rep-graph CC telescopes to the full-history CC.
     val pt = PageGen.pagesWithTruth(spark, 60).cache()
     val pages = pt.select("url", "warc_ts", "html", "text", "lang").cache()
 
-    val batchGolden = Pipeline.run(pages).golden
-      .select("master_id", "canonical_url", "source_record_count")
-      .orderBy("master_id").collect().map(_.toString).toSeq
+    val batchGolden = goldenKey(Pipeline.run(pages).golden)
 
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val inc = new IncrementalMdm(new SnapshotStore(dir))
@@ -26,12 +30,93 @@ class IncrementalMdmSpec extends SparkSpec {
       inc.processBatch(withBatch.where(col("b") === b).drop("b"))
     }
     val store = new SnapshotStore(dir)
-    val streamGolden = store.read(spark, "golden")
-      .select("master_id", "canonical_url", "source_record_count")
-      .orderBy("master_id").collect().map(_.toString).toSeq
+    assert(goldenKey(store.readPart(spark, "state", "golden")) == batchGolden)
 
-    assert(streamGolden == batchGolden)
+    // per-batch work bound: clean/keys parts are DELTAS — their union is
+    // exactly the full record set, with no per-batch rewrite of history
+    val cleanLog = store.readPartAll(spark, "state", "clean")
+    assert(cleanLog.count() == Standardize(pages).count())
+    assert(cleanLog.select("record_id").distinct().count() == cleanLog.count())
     pt.unpersist(); pages.unpersist()
+  }
+
+  test("batch REPLAY after a simulated crash is idempotent and state stays crash-consistent") {
+    val pages = PageGen.pages(spark, 40).cache()
+    val withBatch = pages.withColumn("b", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("warc_ts"), col("url"))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val store = new SnapshotStore(dir)
+    val inc = new IncrementalMdm(store)
+
+    inc.processBatch(withBatch.where(col("b") === 1).drop("b"))
+    val g1 = goldenKey(store.readPart(spark, "state", "golden"))
+
+    // simulate a crash DURING a commit: a leftover temp dir must be ignored
+    // by readers and GC'd by the next commit
+    val tmp = java.nio.file.Paths.get(dir, ".tmp-state-99")
+    java.nio.file.Files.createDirectories(tmp)
+    assert(goldenKey(store.readPart(spark, "state", "golden")) == g1)
+
+    inc.processBatch(withBatch.where(col("b") === 2).drop("b"))
+    val g2 = goldenKey(store.readPart(spark, "state", "golden"))
+    assert(!java.nio.file.Files.exists(tmp)) // gc'd by commitMany
+
+    // foreachBatch retry semantics: replaying an already-committed batch
+    // must not change the golden state (deterministic ids, old wins)
+    inc.processBatch(withBatch.where(col("b") === 2).drop("b"))
+    assert(goldenKey(store.readPart(spark, "state", "golden")) == g2)
+    pages.unpersist()
+  }
+
+  test("G6 drift stream (80% new / 20% re-crawl) converges to the batch golden of the union") {
+    val stream = PageGen.driftStream(spark, 30, nBatches = 3).cache()
+    val allPages = stream.select("url", "warc_ts", "html", "text", "lang").cache()
+    val batchGolden = goldenKey(Pipeline.run(allPages).golden)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val inc = new IncrementalMdm(new SnapshotStore(dir))
+    (0 until 3).foreach { b =>
+      inc.processBatch(stream.where(col("batch") === b)
+        .select("url", "warc_ts", "html", "text", "lang"))
+    }
+    val got = goldenKey(new SnapshotStore(dir).readPart(spark, "state", "golden"))
+    assert(got == batchGolden)
+    // drift mix sanity: some batches beyond the first contain re-crawls
+    assert(stream.where(col("batch") > 0 && col("url").contains("drift=recrawl")).count() > 0)
+    stream.unpersist(); allPages.unpersist()
+  }
+
+  test("audit log and S7 JSON staging parts are committed atomically with golden") {
+    val pages = PageGen.pages(spark, 25)
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    val store = new SnapshotStore(dir)
+    new IncrementalMdm(store).processBatch(pages)
+
+    // audit: every scored pair with per-strategy scores + decision (match_results,
+    // streaming_processor.py:755-809)
+    val audit = store.readPartAll(spark, "state", "audit")
+    assert(audit.columns.toSet.contains("exact_score"))
+    assert(audit.columns.toSet.contains("match_decision"))
+    assert(audit.where(col("batch_seq") === 0).count() == audit.count())
+
+    // S7 staging: golden payload as JSON; round-trips through from_json
+    val staging = store.readPartAll(spark, "state", "staging")
+    assert(staging.count() > 0)
+    val parsed = staging.select(col("master_id"),
+      get_json_object(col("golden_record_data"), "$.master_id").as("mid2"))
+    assert(parsed.where(col("master_id") =!= col("mid2")).count() == 0)
+  }
+
+  test("F11 streaming weight preset keeps reference proportions and thresholds") {
+    val c = MatchConfig.streaming
+    assert(math.abs(c.wExact - 0.33) < 1e-9 && math.abs(c.wFuzzy - 0.28) < 1e-9 &&
+      math.abs(c.wVector - 0.22) < 1e-9 && math.abs(c.wBusiness - 0.17) < 1e-9 && c.wAi == 0.0)
+    assert(c.autoMergeThreshold == 0.8 && c.reviewThreshold == 0.6)
+    // runs end-to-end with the preset
+    val dir = java.nio.file.Files.createTempDirectory("graft-w4").toString
+    val store = new SnapshotStore(dir)
+    new IncrementalMdm(store, MatchConfig.streaming).processBatch(PageGen.pages(spark, 15))
+    assert(store.readPart(spark, "state", "golden").count() > 0)
   }
 
   test("foreachBatch wiring processes a file stream end-to-end") {
@@ -50,7 +135,7 @@ class IncrementalMdmSpec extends SparkSpec {
     val q = inc.start(stream, ckDir)
     q.awaitTermination(120000)
 
-    val golden = new SnapshotStore(storeDir).read(spark, "golden")
+    val golden = new SnapshotStore(storeDir).readPart(spark, "state", "golden")
     assert(golden.count() > 0)
     // every input record is accounted for in lineage
     val lineage = golden.select(explode(col("source_record_ids"))).count()
