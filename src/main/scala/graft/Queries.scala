@@ -205,7 +205,7 @@ object Queries {
     val d = t(s, dir, "documents")
       .where(size(tokens(col("text"))) >= 3)
       .select(col("source"), col("doc_id"),
-        array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+        array_distinct(textShingles(col("text"), 3)).as("sh"))
       .select(col("source"), col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("g"))
     val a = d.select(col("source"), col("g"), col("doc_id").as("d1"), col("sz").as("sz1"))
@@ -224,7 +224,7 @@ object Queries {
     // MinHash signature (md5-keyed so DuckDB can replicate; product path
     // uses xxhash64 — see Blocking)
     val d = t(s, dir, "documents")
-      .withColumn("sh", shingles(tokens(col("text")), 3))
+      .withColumn("sh", textShingles(col("text"), 3))
     d.select(col("doc_id"),
         array_min(transform(col("sh"), x => md5(concat(lit("0|"), x)))).as("mh0"),
         array_min(transform(col("sh"), x => md5(concat(lit("1|"), x)))).as("mh1"),
@@ -442,16 +442,20 @@ object Queries {
     // near-dup dedup shape — signature -> banded equi-join -> distinct pairs
     // -> signature-estimated Jaccard threshold — with md5 in place of
     // xxhash64 so DuckDB replicates bit-for-bit. 8 slots, 4 bands x 2 rows.
-    val d = t(s, dir, "documents")
-      .withColumn("sh", shingles(tokens(col("text")), 3))
-    val sig = d.select(col("doc_id"),
-      transform(sequence(lit(0), lit(7)),
-        i => array_min(transform(col("sh"),
-          x => md5(concat(i.cast("string"), lit("|"), x))))).as("sig"))
-    val keys = sig.select(col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)),
-        j => md5(concat(element_at(col("sig"), j * 2 + 1),
-          element_at(col("sig"), j * 2 + 2))))).as("bk"))
+    // explode -> agg-min (not array_min over a transform): projection
+    // collapse would inline the whole 8x128-md5 pipeline into every later
+    // reference of `sig` (measured 35s -> ~3s at sf0.1); the aggregate form
+    // computes each md5 exactly once and is the map-side-combining plan
+    // you'd want at scale anyway.
+    val exploded = t(s, dir, "documents")
+      .select(col("doc_id"), explode(textShingles(col("text"), 3)).as("x"))
+    val slots = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i|"), col("x")))).as(s"mh$i"))
+    val sigW = exploded.groupBy("doc_id").agg(slots.head, slots.tail: _*)
+    val keys = sigW.select(col("doc_id"),
+      array((0 until 8).map(i => col(s"mh$i")): _*).as("sig"),
+      explode(array((0 until 4).map(j =>
+        md5(concat(col(s"mh${2 * j}"), col(s"mh${2 * j + 1}")))): _*)).as("bk"))
     val a = keys.select(col("bk"), col("doc_id").as("d1"), col("sig").as("s1"))
     val b = keys.select(col("bk"), col("doc_id").as("d2"), col("sig").as("s2"))
     a.join(b, Seq("bk")).where(col("d1") < col("d2"))

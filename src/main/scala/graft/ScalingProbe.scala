@@ -47,6 +47,14 @@ object ScalingProbe {
         .appName(s"graft-scal-$execs")
         .config("spark.jars", jar)
         .config("spark.executor.memory", s"${memMb}m")
+        // Each executor JVM must size its GC pools for ITS core slice, not
+        // the whole box: without this, N executors spawn N*~23 GC threads on
+        // 32 cores and the 4N level collapses under oversubscription
+        // (measured 0.07 "efficiency" from GC thrash). GC-targeted flags
+        // only — -XX:ActiveProcessorCount would also throttle the JIT
+        // compiler pool, leaving hot codegen interpreted (measured 14x CPU).
+        .config("spark.executor.extraJavaOptions",
+          s"-XX:ParallelGCThreads=$coresPerExec -XX:ConcGCThreads=2")
         .config("spark.sql.shuffle.partitions", (2 * execs * coresPerExec).toString)
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.local.dir", "/dev/shm/graft-shuffle")
@@ -54,10 +62,32 @@ object ScalingProbe {
         .getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
       graft.functions.GraftFunctions.register(s)
-      job(s) // warm this cluster's executors (fresh JVMs each time)
+      case class St(id: Int, runMs: Long, gcMs: Long, cpuNs: Long,
+        sr: Long, sw: Long, nTasks: Int)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        val stages = scala.collection.mutable.ArrayBuffer[St]()
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val m = i.taskMetrics
+          stages += St(i.stageId, m.executorRunTime, m.jvmGCTime, m.executorCpuTime,
+            m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten, i.numTasks)
+        }
+      }
+      // Warm TWICE: executors are fresh JVMs; at high executor counts each
+      // JVM sees only 1/N of the corpus per pass, so one pass may leave hot
+      // codegen loops below C2 thresholds.
+      job(s); job(s)
+      s.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       val n = job(s)
       val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      listener.stages.sortBy(-_.runMs).take(8).foreach { st =>
+        println(f"[scal]   stage ${st.id}%4d run=${st.runMs / 1000.0}%7.1fs " +
+          f"cpu=${st.cpuNs / 1e9}%7.1fs gc=${st.gcMs / 1000.0}%6.1fs " +
+          f"sRead=${st.sr / 1e6}%8.1fMB sWrite=${st.sw / 1e6}%8.1fMB tasks=${st.nTasks}")
+      }
       s.stop()
       (n, dt)
     }

@@ -108,6 +108,78 @@ object TextMinHash {
   }
 }
 
+/** n-token shingle STRINGS straight from text — the native twin of
+  * `shingles(tokens(text), n)` (GraftFunctions): whitespace-tokenize
+  * (empties dropped), join n consecutive tokens with single spaces; texts
+  * shorter than n tokens degrade to one whole-text shingle (empty text ->
+  * [""]), byte-identical to the HOF formulation (pinned in FunctionsSpec).
+  * The HOF pipeline is CodegenFallback-interpreted and costs ~2ms/doc on
+  * 130-token pages (q35 profile); this is a single byte walk. */
+case class TextShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "text_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"text_shingles requires string, got ${child.dataType}")
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextShingles.shingles(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextShingles.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextShingles {
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var nTok = 0
+    var i = 0
+    val starts = new Array[Int](len / 2 + 1)
+    val ends = new Array[Int](len / 2 + 1)
+    while (i < len) {
+      while (i < len && bytes(i) == ' ') i += 1
+      if (i < len) {
+        starts(nTok) = i
+        while (i < len && bytes(i) != ' ') i += 1
+        ends(nTok) = i
+        nTok += 1
+      }
+    }
+    val nSh = if (nTok < n) 1 else nTok - n + 1
+    val span = math.min(n, math.max(nTok, 1))
+    val out = new Array[AnyRef](nSh)
+    var sh = 0
+    while (sh < nSh) {
+      val last = if (nTok == 0) -1 else math.min(sh + span - 1, nTok - 1)
+      var need = 0
+      var t = sh
+      while (t <= last) {
+        if (t > sh) need += 1
+        need += ends(t) - starts(t)
+        t += 1
+      }
+      val buf = new Array[Byte](need)
+      var pos = 0
+      t = sh
+      while (t <= last) {
+        if (t > sh) { buf(pos) = ' '; pos += 1 }
+        val tl = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), buf, pos, tl)
+        pos += tl
+        t += 1
+      }
+      out(sh) = UTF8String.fromBytes(buf)
+      sh += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** 64-bit SimHash straight from text: per-bit majority vote over the
   * xxhash64 of each whitespace token (token multiplicity counts, matching
   * the HOF formulation in GraftFunctions.simhash64Hof). */

@@ -47,4 +47,45 @@ object Golden {
         "master_lang", "most_complete_text", "first_seen", "last_activity",
         "source_record_count", "source_record_ids", "source_domains", "cluster_id")
   }
+
+  /** S5: MERGE-shaped bulk upsert of a golden batch into an existing golden
+    * table (the reference's bulk-load-then-merge migration step,
+    * MDM_STREAMING_PROCESSING.md "1M records/min" phase-3 import +
+    * Spanner batch upsert, spanner_utils.py insert_or_update semantics):
+    * match on master_id — matched rows take the incoming side's volatile
+    * fields when its last_activity is newer (most-recent-wins), keep the
+    * older first_seen, and union lineage arrays; unmatched incoming rows
+    * insert. A full-outer equi-join on the key — the Spark expression of
+    * MERGE INTO, Iceberg/Delta-swappable. */
+  def merge(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val e = existing.toDF(existing.columns.map(c => s"e_$c"): _*)
+    val i = incoming.toDF(incoming.columns.map(c => s"i_$c"): _*)
+    val j = e.join(i, col("e_master_id") === col("i_master_id"), "full_outer")
+    val incomingNewer = col("e_master_id").isNull ||
+      (col("i_master_id").isNotNull && col("i_last_activity") >= col("e_last_activity"))
+    def pick(c: String) =
+      when(incomingNewer, coalesce(col(s"i_$c"), col(s"e_$c")))
+        .otherwise(coalesce(col(s"e_$c"), col(s"i_$c")))
+    j.select(
+      coalesce(col("e_master_id"), col("i_master_id")).as("master_id"),
+      coalesce(col("e_canonical_url"), col("i_canonical_url")).as("canonical_url"),
+      pick("master_url").as("master_url"),
+      pick("master_text").as("master_text"),
+      pick("master_lang").as("master_lang"),
+      pick("most_complete_text").as("most_complete_text"),
+      least(coalesce(col("e_first_seen"), col("i_first_seen")),
+        coalesce(col("i_first_seen"), col("e_first_seen"))).as("first_seen"),
+      greatest(coalesce(col("e_last_activity"), col("i_last_activity")),
+        coalesce(col("i_last_activity"), col("e_last_activity"))).as("last_activity"),
+      size(array_distinct(concat(
+        coalesce(col("e_source_record_ids"), array()),
+        coalesce(col("i_source_record_ids"), array())))).cast("long").as("source_record_count"),
+      sort_array(array_distinct(concat(
+        coalesce(col("e_source_record_ids"), array()),
+        coalesce(col("i_source_record_ids"), array())))).as("source_record_ids"),
+      sort_array(array_distinct(concat(
+        coalesce(col("e_source_domains"), array()),
+        coalesce(col("i_source_domains"), array())))).as("source_domains"),
+      pick("cluster_id").as("cluster_id"))
+  }
 }

@@ -67,9 +67,12 @@ case class MatchConfig(
     // CC loop: lineage cut every `checkpointEvery` iterations (persist-only
     // in between); `checkpointDir` switches the cut from localCheckpoint
     // (executor-memory, local-mode default) to a reliable HDFS/object-store
-    // checkpoint that survives executor loss on a real cluster.
+    // checkpoint that survives executor loss on a real cluster. Default 1:
+    // at small scale persist-chains replan deeper trees each round (measured
+    // 9.0s -> 15.3s at ckEvery=3 on the sf0.1 chain graph); raise it on a
+    // cluster where the checkpoint WRITE dominates a round.
     maxIterations: Int = 50,
-    checkpointEvery: Int = 3,
+    checkpointEvery: Int = 1,
     checkpointDir: Option[String] = None)
 
 object MatchConfig {

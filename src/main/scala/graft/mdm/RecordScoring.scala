@@ -22,10 +22,12 @@ object RecordScoring {
   private def bothNotNull(a: Column, b: Column): Column = a.isNotNull && b.isNotNull
 
   /** 1 - EDIT_DISTANCE/GREATEST(LENGTH) when both sides present, else 0
-    * (bigquery_utils.py:354-359 — NULLs score 0, not NULL). */
+    * (bigquery_utils.py:354-359 — NULLs score 0, not NULL). Uses the native
+    * Myers-bit-parallel edit distance (value-identical to the built-in;
+    * requires GraftFunctions.register, done by apply()). */
   def editScore(a: Column, b: Column): Column =
     when(bothNotNull(a, b) && greatest(length(a), length(b)) > 0,
-      lit(1.0) - levenshtein(a, b).cast("double") /
+      lit(1.0) - graft.functions.GraftFunctions.editDistance(a, b).cast("double") /
         greatest(length(a), length(b)).cast("double"))
       .otherwise(0.0)
 
@@ -82,6 +84,7 @@ object RecordScoring {
     * block shape (streaming_processor.py:118-131). */
   def apply(std: DataFrame, cfg: MatchConfig = MatchConfig.referenceWeights,
       scorer: PairScorer = ZeroPairScorer): DataFrame = {
+    graft.functions.GraftFunctions.register(std.sparkSession)
     val keyed = std.select(col("record_id"),
         explode(array(
           concat(lit("z:"), col("zip_code")),

@@ -81,6 +81,50 @@ object Scoring {
       .when(col("combined_score") >= cfg.reviewThreshold, "medium")
       .otherwise("low")
 
+  /** A7: the streaming path's per-record score combine
+    * (streaming_processor.py:280-344 `combine_scores`): for each NEW record
+    * with several candidate matches, take the max score per strategy per
+    * candidate, weighted-sum them, and keep ONLY the argmax candidate —
+    * the reference merges an incoming record into at most one entity.
+    * Input: scored pairs (Scoring.apply output) + the new-record id set.
+    * Output: one row per new record that has a candidate at or above the
+    * review threshold: (record_id, best_match_id, best score columns). */
+  def bestMatchPerRecord(scored: DataFrame, newIds: DataFrame,
+      cfg: MatchConfig): DataFrame = {
+    val ids = newIds.select(col("record_id"))
+    // orient each pair as (rec = the new record, cand = the other side);
+    // a new-new pair contributes both orientations, like the reference's
+    // per-record loop seeing each as the incoming record
+    val o1 = scored.join(ids.withColumnRenamed("record_id", "record1_id"), Seq("record1_id"))
+      .select(col("record1_id").as("record_id"), col("record2_id").as("candidate_id"),
+        col("exact_score"), col("fuzzy_score"), col("vector_score"),
+        col("business_score"), col("ai_score"))
+    val o2 = scored.join(ids.withColumnRenamed("record_id", "record2_id"), Seq("record2_id"))
+      .select(col("record2_id").as("record_id"), col("record1_id").as("candidate_id"),
+        col("exact_score"), col("fuzzy_score"), col("vector_score"),
+        col("business_score"), col("ai_score"))
+    // max per strategy per (record, candidate) — several strategy rows per
+    // candidate collapse like the reference's per-strategy max
+    val perCand = o1.unionByName(o2)
+      .groupBy(col("record_id"), col("candidate_id"))
+      .agg(max("exact_score").as("exact_score"),
+        max("fuzzy_score").as("fuzzy_score"),
+        max("vector_score").as("vector_score"),
+        max("business_score").as("business_score"),
+        max("ai_score").as("ai_score"))
+      .withColumn("combined_score", combined(cfg))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("record_id"))
+      .orderBy(col("combined_score").desc, col("candidate_id"))
+    perCand
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1 && col("combined_score") >= cfg.reviewThreshold)
+      .drop("rk")
+      .withColumnRenamed("candidate_id", "best_match_id")
+      .withColumn("match_decision", decision(cfg))
+      .withColumn("confidence_level", confidence(cfg))
+  }
+
   /** Full scoring stage: features -> AI plug-point -> ensemble -> decision;
     * keeps pairs above the reference's `combined_score > 0.3`
     * potential-match gate (bigquery_utils.py:634).

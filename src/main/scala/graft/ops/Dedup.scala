@@ -92,7 +92,7 @@ object Dedup {
   def jaccardVerify(pairs: DataFrame, df: DataFrame, textCol: String,
       idCol: String, shingle: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(shingles(tokens(col(textCol)), shingle)).as("sh"))
+      array_distinct(textShingles(col(textCol), shingle)).as("sh"))
     pairs
       .join(sh.select(col("id").as("id1"), col("sh").as("sh_1")), Seq("id1"))
       .join(sh.select(col("id").as("id2"), col("sh").as("sh_2")), Seq("id2"))

@@ -178,6 +178,43 @@ class FunctionsSpec extends SparkSpec {
     assert(got(0) == 0.75 && got(1) == 1.0)
   }
 
+  test("native text_shingles is byte-identical to shingles(tokens(text), n)") {
+    val edge = spark.createDataFrame(
+      Seq("", "one", "one two", "a  b   c d", "  lead trail  ").map(Tuple1(_))).toDF("text")
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .union(edge)
+    val bad = d.where(textShingles(col("text"), 3) =!=
+      shingles(tokens(col("text")), 3)).count()
+    assert(bad == 0L)
+    val bad2 = d.where(textShingles(col("text"), 2) =!=
+      shingles(tokens(col("text")), 2)).count()
+    assert(bad2 == 0L)
+  }
+
+  // --- Native edit distance vs built-in ---------------------------------------
+  test("native edit_distance (Myers bit-parallel) is value-identical to Spark's levenshtein") {
+    import graft.functions.GraftFunctions.editDistance
+    // real corpus pairs (heads up to 64 chars — exactly the scoring surface)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("h"))
+    val a = d.toDF("i1", "h1")
+    val b = d.toDF("i2", "h2")
+    val mism = a.join(b, col("i1") < col("i2")).limit(30000)
+      .where(editDistance(col("h1"), col("h2")) =!= levenshtein(col("h1"), col("h2")))
+      .count()
+    assert(mism == 0L)
+    // adversarial unit cases incl. >64-char fallback, empty, unicode, swaps
+    val cases = Seq(
+      ("", ""), ("", "abc"), ("kitten", "sitting"), ("ab", "ba"),
+      ("abcdef", "abcdef"), ("a" * 70 + "x", "a" * 70 + "y"), // DP fallback
+      ("x" * 64, "y" * 64), ("flaw", "lawn"), ("résumé", "resume"),
+      ("Customer#000018908", "Customer#000070869"))
+    val df = spark.createDataFrame(cases).toDF("a", "b")
+    val bad = df.where(editDistance(col("a"), col("b")) =!= levenshtein(col("a"), col("b"))).count()
+    assert(bad == 0L)
+  }
+
   // --- Jaro-Winkler conventions (oracle parity) ------------------------------
   test("JW follows Winkler's strcmp95 conventions: floored transpositions, 0.7 boost gate") {
     import graft.functions.JaroWinkler.similarity

@@ -119,6 +119,23 @@ class IncrementalMdmSpec extends SparkSpec {
     assert(store.readPart(spark, "state", "golden").count() > 0)
   }
 
+  test("A7: per-record score combine keeps only the argmax candidate at/above review threshold") {
+    import spark.implicits._
+    val scored = Seq(
+      // new record "n1" has two candidates: c2 wins on combined score
+      ("c1", "n1", 0.0, 0.9, 0.0, 0.5, 0.0),
+      ("c2", "n1", 1.0, 0.9, 0.0, 0.5, 0.0),
+      // new record "n2" has only a weak candidate (below review threshold)
+      ("c3", "n2", 0.0, 0.2, 0.0, 0.2, 0.0))
+      .toDF("record1_id", "record2_id", "exact_score", "fuzzy_score",
+        "vector_score", "business_score", "ai_score")
+    val newIds = Seq("n1", "n2").toDF("record_id")
+    val cfg = MatchConfig()
+    val best = Scoring.bestMatchPerRecord(scored, newIds, cfg)
+      .select("record_id", "best_match_id").as[(String, String)].collect().toMap
+    assert(best == Map("n1" -> "c2")) // argmax only; n2 filtered (below 0.6)
+  }
+
   test("foreachBatch wiring processes a file stream end-to-end") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-fstream")
     val srcDir = tmp.resolve("src").toString
