@@ -376,11 +376,14 @@ object Queries {
   }
 
   def q28_time_bucket_agg(s: SparkSession, dir: String): DataFrame =
-    // streaming-analogue event-time bucketing (tumbling hour)
+    // streaming-analogue event-time bucketing (tumbling hour). The value
+    // aggregate uses the exact-decimal-sum pattern (like q01): round(avg) of
+    // a double is accumulation-ORDER-dependent — Spark's partial aggregation
+    // vs DuckDB's scan order flipped the 4th decimal on 3/3600 rows at sf0.1.
     t(s, dir, "events")
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
       .orderBy("hr", "event_type")
 
   def q29_text_quality(s: SparkSession, dir: String): DataFrame = {
@@ -824,7 +827,8 @@ object Queries {
         |WHERE l1.u < 10000000 ORDER BY node""".stripMargin,
     "q28_time_bucket_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
-        | event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
     "q29_text_quality" ->
       """SELECT doc_id,

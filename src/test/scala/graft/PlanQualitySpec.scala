@@ -57,6 +57,23 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("set-similarity queries are equi-joins on inverted-index keys, never cartesian (q16)") {
+    val p = plan(Queries.q16_jaccard_shingles(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q16 degenerated to a cross join:\n$p")
+  }
+
+  test("dedup band joins route through skew-split candidates (no raw key self-join)") {
+    import graft.ops.Dedup
+    val docs = Standardize(PageGen.pages(spark, 30))
+      .select(col("record_id").as("id"), col("text"))
+    val p = plan(Dedup.minhashPairs(docs, "text", "id"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the triangle-split explodes members into cells before the pair join
+    assert(p.toLowerCase.contains("generate"), // explode of cells / band keys
+      s"expected cell/band explode in dedup plan:\n$p")
+  }
+
   test("aggregates are partial+final hash aggregates (map-side combine)") {
     val p = plan(Queries.q01_agg_lineitem(spark, dir))
     assert(p.contains("HashAggregate"), p)
