@@ -64,6 +64,17 @@ case class MatchConfig(
     // small enough that a hot key fans out across many tasks instead of
     // serializing on 2-3 giant ones.
     maxBlockSize: Int = 250,
+    // Ceiling on salt groups per block: a block is split into at most
+    // maxSaltGroups groups (ceil(size/maxBlockSize) otherwise), bounding the
+    // replication factor (members are copied into <= maxSaltGroups cells).
+    maxSaltGroups: Int = 64,
+    // O5 cost cap (reference streaming_processor.py:118-131 block LIMIT):
+    // blocks with MORE members than this are dropped entirely before pair
+    // generation — the web-scale "stop-word block" rule: a key shared by
+    // millions of records (empty-text band, parked-domain) carries no
+    // discriminating evidence and only quadratic cost. None = exact/off
+    // (default; the oracle-checked queries never drop).
+    dropBlocksLargerThan: Option[Int] = None,
     // CC loop: lineage cut every `checkpointEvery` iterations (persist-only
     // in between); `checkpointDir` switches the cut from localCheckpoint
     // (executor-memory, local-mode default) to a reliable HDFS/object-store

@@ -23,12 +23,18 @@ object Pairs {
     */
   def candidates(blockKeys: DataFrame, cfg: MatchConfig): DataFrame = {
     val sizes = blockKeys.groupBy("block_key").agg(count(lit(1)).as("bsize"))
-    val keyed = blockKeys.join(sizes.where(col("bsize") > 1), Seq("block_key"))
+    // O5 stop-word-block cap: keys shared by more than the ceiling carry no
+    // discriminating evidence at web scale, only quadratic cost (opt-in).
+    val usable = cfg.dropBlocksLargerThan match {
+      case Some(ceilN) => sizes.where(col("bsize") > 1 && col("bsize") <= ceilN)
+      case None => sizes.where(col("bsize") > 1)
+    }
+    val keyed = blockKeys.join(usable, Seq("block_key"))
 
     // salt-group count per block: 1 for normal blocks, ceil(size/cap) capped
-    // at 64 for pathological keys
-    val nGroups = least(ceil(col("bsize") / lit(cfg.maxBlockSize.toDouble)), lit(64L))
-      .cast("int")
+    // at cfg.maxSaltGroups for pathological keys
+    val nGroups = least(ceil(col("bsize") / lit(cfg.maxBlockSize.toDouble)),
+      lit(cfg.maxSaltGroups.toLong)).cast("int")
     val g = pmod(xxhash64(col("record_id"), col("block_key")), nGroups.cast("long")).cast("int")
 
     val members = keyed

@@ -1,0 +1,58 @@
+package graft.mdm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exhaustiveness of the triangle-split candidate generator: under ANY
+  * block-size cap, every qualifying pair (two distinct members sharing a
+  * block key) is emitted EXACTLY once — no duplicates, no losses.
+  */
+class PairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(keys: Seq[(String, String)]): Set[(String, String)] = {
+    // distinct pairs sharing >=1 key, normalized id1 < id2
+    val byKey = keys.groupBy(_._2).values
+    byKey.flatMap { members =>
+      val ids = members.map(_._1).distinct
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+  }
+
+  private def run(keys: Seq[(String, String)], cfg: MatchConfig): Seq[(String, String)] =
+    Pairs.candidates(keys.toDF("record_id", "block_key"), cfg)
+      .as[(String, String)].collect().toSeq
+
+  test("property: candidates == brute-force pair set under aggressive splitting (seeded)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 6).foreach { trial =>
+      val nIds = 5 + rnd.nextInt(60)
+      val nKeys = 1 + rnd.nextInt(6)
+      val keys = (0 until nIds).flatMap { i =>
+        (0 until 1 + rnd.nextInt(3)).map(_ => (f"id$i%03d", s"k${rnd.nextInt(nKeys)}"))
+      }.distinct
+      // cap of 3 forces multi-group splitting on nearly every block
+      val got = run(keys, MatchConfig(maxBlockSize = 3))
+      assert(got.size == got.distinct.size, s"trial $trial: duplicate pairs emitted")
+      assert(got.toSet == brute(keys), s"trial $trial: pair set mismatch")
+    }
+  }
+
+  test("maxSaltGroups bounds replication while keeping the pair set exact") {
+    val keys = (0 until 300).map(i => (f"id$i%03d", "hot"))
+    val got = run(keys, MatchConfig(maxBlockSize = 10, maxSaltGroups = 8))
+    assert(got.toSet == brute(keys))
+    assert(got.size == 300 * 299 / 2)
+  }
+
+  test("O5 stop-word-block cap drops oversized blocks entirely, leaves the rest exact") {
+    val hot = (0 until 100).map(i => (f"h$i%03d", "stopword"))
+    val ok = (0 until 10).map(i => (f"n$i%03d", "normal"))
+    val cfg = MatchConfig(maxBlockSize = 25, dropBlocksLargerThan = Some(50))
+    val got = run(hot ++ ok, cfg).toSet
+    assert(got == brute(ok), "pairs from the dropped stop-word block leaked through")
+    // off by default: exact semantics
+    val exact = run(hot ++ ok, MatchConfig(maxBlockSize = 25)).toSet
+    assert(exact == brute(hot ++ ok))
+  }
+}
