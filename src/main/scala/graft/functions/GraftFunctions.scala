@@ -30,7 +30,18 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "text_shingles", exprs => TextShinglesExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "topk_by", exprs => TopKByExpr(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
   }
+
+  /** Per-group top-k aggregate WITHOUT a sort (native TypedImperativeAggregate
+    * with a size-k min-heap + map-side partial aggregation): the k `payload`
+    * values with the LARGEST `ord` keys, descending. Scale-path replacement
+    * for the `row_number() OVER (...) <= k` idiom — see TopKByExpr. Make
+    * `ord` a total order (e.g. `struct(score, -id)`) for determinism. */
+  def topKBy(payload: Column, ord: Column, k: Int): Column =
+    call_function("topk_by", payload, ord, lit(k))
 
   /** n-token shingle strings straight from text — native twin of
     * `shingles(tokens(text), n)`, byte-identical output (FunctionsSpec),

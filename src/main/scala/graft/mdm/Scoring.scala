@@ -113,14 +113,27 @@ object Scoring {
         max("business_score").as("business_score"),
         max("ai_score").as("ai_score"))
       .withColumn("combined_score", combined(cfg))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("record_id"))
-      .orderBy(col("combined_score").desc, col("candidate_id"))
+    // argmax candidate per record as a `min_by` hash aggregate over
+    // (-combined, candidate_id) — highest score, ties -> lowest candidate
+    // id, identical to the row_number-window form but with map-side
+    // combine and no per-record sort (and it works for string ids, which
+    // `max_by` over a negated secondary key would not).
     perCand
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1 && col("combined_score") >= cfg.reviewThreshold)
-      .drop("rk")
-      .withColumnRenamed("candidate_id", "best_match_id")
+      .groupBy(col("record_id"))
+      .agg(min_by(
+        struct(col("candidate_id"), col("exact_score"), col("fuzzy_score"),
+          col("vector_score"), col("business_score"), col("ai_score"),
+          col("combined_score")),
+        struct(-col("combined_score"), col("candidate_id"))).as("best"))
+      .select(col("record_id"),
+        col("best.candidate_id").as("best_match_id"),
+        col("best.exact_score").as("exact_score"),
+        col("best.fuzzy_score").as("fuzzy_score"),
+        col("best.vector_score").as("vector_score"),
+        col("best.business_score").as("business_score"),
+        col("best.ai_score").as("ai_score"),
+        col("best.combined_score").as("combined_score"))
+      .where(col("combined_score") >= cfg.reviewThreshold)
       .withColumn("match_decision", decision(cfg))
       .withColumn("confidence_level", confidence(cfg))
   }

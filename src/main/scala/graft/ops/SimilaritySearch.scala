@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.GraftFunctions.cosineSim
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -33,19 +32,35 @@ object SimilaritySearch {
     bits.reduce(_ + _)
   }
 
+  /** Top-k rows per group without a sort: `topk_by` keeps a size-k heap per
+    * group per partition (map-side combine ships <= k rows per group per
+    * partition), vs the row_number-window form that shuffles and SORTS every
+    * candidate row. Ordering (`cos` desc, id asc) matches the window idiom's
+    * tie-break exactly. Emits (groupCol, rank, id, cos). */
+  private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(col(groupCol))
+      .agg(graft.functions.GraftFunctions.topKBy(
+        struct(col("nid"), col("cos")),
+        struct(col("cos"), -col("nid")), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(groupCol), (col("pos") + 1).as("rank"),
+        col("t.nid").as("nid"), col("t.cos").as("cos"))
+
   /** Brute-force exact top-k by cosine: (qid, rank, nid, cos). Queries are
-    * broadcast against the corpus — one scan, no shuffle of the corpus. */
+    * broadcast against the corpus — one scan, no shuffle of the corpus;
+    * the per-query top-k is a heap aggregate, so only k rows per query per
+    * partition ever reach the exchange (the window form moved |corpus|
+    * rows per query). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, embCol: String,
       idCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
     val c = corpus.select(col(idCol).as("nid"), col(embCol).as("ne"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    c.join(broadcast(q), col("qid") =!= col("nid"))
-      .withColumn("cos", cosineSim(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("qid", "rank", "nid", "cos")
+    topKPerGroup(
+      c.join(broadcast(q), col("qid") =!= col("nid"))
+        .withColumn("cos", cosineSim(col("qe"), col("ne"))),
+      "qid", k)
   }
 
   /** IVF-style ANN:
@@ -78,21 +93,21 @@ object SimilaritySearch {
         first(col("ne")).as("ne")) // all rows of a group carry the same ne
       .select(col("cid"), col("nid"), col("ne"))
 
-    // probe lists per query
+    // probe lists per query: nProbe nearest centroids via the heap aggregate
+    // (same ordering as the window form: ccos desc, ties -> lowest cid)
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
     val probes = q.join(broadcast(centroids), lit(true))
       .withColumn("ccos", cosineSim(col("qe"), col("ce")))
-      .withColumn("r", row_number().over(wProbe))
-      .where(col("r") <= nProbe)
-      .select(col("qid"), col("qe"), col("cid"))
+      .groupBy(col("qid"))
+      .agg(first(col("qe")).as("qe"), // one qe per qid — identical in group
+        graft.functions.GraftFunctions.topKBy(
+          col("cid"), struct(col("ccos"), -col("cid")), nProbe).as("cids"))
+      .select(col("qid"), col("qe"), explode(col("cids")).as("cid"))
 
-    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    probes.join(inverted, Seq("cid"))
-      .where(col("qid") =!= col("nid"))
-      .withColumn("cos", cosineSim(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(wTop))
-      .where(col("rank") <= k)
-      .select("qid", "rank", "nid", "cos")
+    topKPerGroup(
+      probes.join(inverted, Seq("cid"))
+        .where(col("qid") =!= col("nid"))
+        .withColumn("cos", cosineSim(col("qe"), col("ne"))),
+      "qid", k)
   }
 }

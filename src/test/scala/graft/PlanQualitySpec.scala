@@ -74,6 +74,17 @@ class PlanQualitySpec extends SparkSpec {
       s"expected cell/band explode in dedup plan:\n$p")
   }
 
+  test("ANN top-k is a heap aggregate (ObjectHashAggregate), not a window sort") {
+    import graft.ops.SimilaritySearch
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val p = plan(SimilaritySearch.bruteForceTopK(q, e, "embedding", "vec_id", 3))
+    assert(p.contains("ObjectHashAggregate"),
+      s"topk_by should run as ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"ANN top-k fell back to a window sort:\n$p")
+  }
+
   test("aggregates are partial+final hash aggregates (map-side combine)") {
     val p = plan(Queries.q01_agg_lineitem(spark, dir))
     assert(p.contains("HashAggregate"), p)

@@ -241,4 +241,44 @@ class FunctionsSpec extends SparkSpec {
     assert(got == md.take(36))
     assert(got.length == 36)
   }
+
+  // --- topk_by: heap aggregate vs the row_number-window idiom ---------------
+  test("topk_by equals window row_number top-k incl. ties (multi-partition merge path)") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 2000).map { i =>
+      (i.toLong % 37, i.toLong, rnd.nextInt(40) / 40.0) // coarse scores -> many ties
+    }
+    // 13 input partitions force partial buffers + serialize/merge on shuffle
+    val df = spark.createDataFrame(rows).toDF("g", "id", "score").repartition(13)
+    val agg = df.groupBy(col("g"))
+      .agg(topKBy(struct(col("id"), col("score")),
+        struct(col("score"), -col("id")), 5).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g"), (col("pos") + 1).as("rank"),
+        col("t.id").as("id"), col("t.score").as("score"))
+      .orderBy("g", "rank").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+    val win = df.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+      .select("g", "rank", "id", "score")
+      .orderBy("g", "rank").collect().toSeq
+    assert(agg == win)
+  }
+
+  test("topk_by: group smaller than k, null ordering keys ignored, SQL-callable") {
+    GraftFunctions.register(spark)
+    val df = spark.createDataFrame(Seq(
+      (1L, 10L, Some(0.5)), (1L, 11L, None), (1L, 12L, Some(0.9)),
+      (2L, 20L, Some(0.1)))).toDF("g", "id", "score")
+    val got = df.groupBy(col("g"))
+      .agg(topKBy(col("id"), col("score"), 5).as("top"))
+      .orderBy("g").collect()
+    assert(got(0).getSeq[Long](1) == Seq(12L, 10L)) // null-score row dropped
+    assert(got(1).getSeq[Long](1) == Seq(20L)) // short group -> short array
+    df.createOrReplaceTempView("tkb")
+    val sqlGot = spark.sql(
+      "SELECT g, topk_by(id, score, 1) AS top FROM tkb GROUP BY g ORDER BY g").collect()
+    assert(sqlGot(0).getSeq[Long](1) == Seq(12L))
+  }
 }
