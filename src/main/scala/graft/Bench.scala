@@ -88,6 +88,32 @@ object Bench {
     n
   }
 
+  /** One-thread host-memory probe on a 128 MB buffer, two numbers:
+    * (warm-copy GB/s best-of-3, alloc+first-touch GB/s). This box is a
+    * shared VM: co-tenant pressure has been observed to leave warm copy
+    * near-healthy (~8 GB/s) while collapsing the fresh-allocation /
+    * page-fault path 5-30x (kernel page zeroing) — and Spark's
+    * buffer-heavy execution rides the degraded path, inflating every wall
+    * time by a similar factor. The bench JSON stamps both so a reader can
+    * tell a slow run from a slow host (see BASELINE.md §scaling). */
+  private def hostProbe(): (Double, Double) = {
+    val n = 128 << 20
+    val t0 = System.nanoTime()
+    val src = new Array[Byte](n) // JVM zeroes 128 MB -> faults fresh pages
+    var i = 0
+    while (i < n) { src(i) = 1; i += 4096 } // touch every page
+    val alloc = n.toDouble / (System.nanoTime() - t0) * 1e9 / (1L << 30)
+    val dst = new Array[Byte](n)
+    var best = 0.0
+    (1 to 3).foreach { _ =>
+      val t1 = System.nanoTime()
+      System.arraycopy(src, 0, dst, 0, n)
+      val gbps = n.toDouble / (System.nanoTime() - t1) * 1e9 / (1L << 30)
+      if (gbps > best) best = gbps
+    }
+    (best, alloc)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -99,6 +125,7 @@ object Bench {
     // --- part 1: contract queries ---------------------------------------
     // Failures are RECORDED, never masked (VERDICT r1: a broken query must
     // not look like a fast query).
+    val (copyStart, allocStart) = hostProbe()
     var spark = session(cpus)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -159,9 +186,11 @@ object Bench {
       extraRounds += 1
     }
     // informational levels AFTER the protocol pair (they must not sit
-    // between the pair's measurement rounds)
-    Seq(16, 32).filterNot(Seq(nLo, nHi).contains)
-      .foreach { c => levelRes(c) = runLevel(c, fixedParts, inputPath) }
+    // between the pair's measurement rounds); SPARK_GRAFT_SCALE_INFO=0
+    // skips them (smoke runs — the protocol pair alone decides the rule)
+    if (sys.env.getOrElse("SPARK_GRAFT_SCALE_INFO", "1") != "0")
+      Seq(16, 32).filterNot(Seq(nLo, nHi).contains)
+        .foreach { c => levelRes(c) = runLevel(c, fixedParts, inputPath) }
     val (pairsLo, secLo) = levelRes(nLo)
     val (pairsHi, secHi) = levelRes(nHi)
     val thrLo = pairsLo / secLo
@@ -178,8 +207,14 @@ object Bench {
         f""""n_lo":$nLo,"n_hi":$nHi,"lo_sec":$secLo%.2f,"hi_sec":$secHi%.2f,""" +
         f""""pairs_per_sec_lo":$thrLo%.0f,"pairs_per_sec_hi":$thrHi%.0f,""" +
         f""""levels":$levelsJson,"scaling_efficiency":$eff%.3f}"""
+    // Host-health stamps: taken BEFORE the query suite and AFTER the
+    // protocol. copy ~8 / alloc ~2+ GB/s = healthy box; alloc << 1 GB/s =
+    // co-tenant page-fault-path pressure inflating every wall time in this
+    // JSON (see BASELINE.md §scaling).
+    val (copyEnd, allocEnd) = hostProbe()
+    val host = f""""host_probe":{"copy_gbps_start":$copyStart%.2f,"alloc_gbps_start":$allocStart%.2f,"copy_gbps_end":$copyEnd%.2f,"alloc_gbps_end":$allocEnd%.2f}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir","scaling":$scaling}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"sf":"$sfDir",$host,"scaling":$scaling}""")
     // cleanup temp corpus
     try {
       def rm(p: java.io.File): Unit = {

@@ -33,7 +33,17 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "topk_by", exprs => TopKByExpr(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hyperplane_bucket", exprs => HyperplaneBucketExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
   }
+
+  /** Sign-bit LSH bucket id from `bits` deterministic hyperplanes — native
+    * fused-loop twin of `SimilaritySearch.hyperplaneBucketHof` (bit-identical,
+    * FunctionsSpec). */
+  def hyperplaneBucket(emb: Column, bits: Int, table: Int): Column =
+    call_function("hyperplane_bucket", emb, lit(bits), lit(table))
 
   /** Per-group top-k aggregate WITHOUT a sort (native TypedImperativeAggregate
     * with a size-k min-heap + map-side partial aggregation): the k `payload`

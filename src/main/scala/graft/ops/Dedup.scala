@@ -22,12 +22,20 @@ object Dedup {
 
   /** Exact dedup: keep one row per byte-identical content.
     * Returns input rows + `dup_group` (content hash) + `is_canonical`
-    * (true for the kept row = min id per group). */
+    * (true for the kept row = min id per group).
+    *
+    * min-aggregate + equi-join instead of a per-group row_number window: a
+    * web-scale corpus has GIANT identical-content families (empty pages,
+    * parked-domain boilerplate) and the window form sorts each family in a
+    * single task; the aggregate combines map-side to one row per family per
+    * partition and the join back is AQE-skew-splittable. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("dup_group")).orderBy(col(idCol))
-    df.withColumn("dup_group", sha2(col(textCol), 256))
-      .withColumn("is_canonical", row_number().over(w) === 1)
+    val withGroup = df.withColumn("dup_group", sha2(col(textCol), 256))
+    val canon = withGroup.groupBy(col("dup_group"))
+      .agg(min(col(idCol)).as("__canon_id"))
+    withGroup.join(canon, Seq("dup_group"))
+      .withColumn("is_canonical", col(idCol) === col("__canon_id"))
+      .drop("__canon_id")
   }
 
   /** Skew-safe distinct candidate pairs from (id, block_key) rows. */

@@ -20,8 +20,16 @@ object SimilaritySearch {
     (pmod(xxhash64(lit(t), lit(p), i, lit("hyperplane")), lit(2000001L)) - 1000000L)
       .cast("double") / 1000000.0
 
-  /** LSH bucket id from `signBits` random-hyperplane sign bits. */
-  def hyperplaneBucket(emb: Column, signBits: Int, table: Int = 0): Column = {
+  /** LSH bucket id from `signBits` random-hyperplane sign bits — native
+    * fused loop with a process-wide plane cache (HyperplaneBucketExpr; the
+    * HOF twin below pins bit-equality in FunctionsSpec). */
+  def hyperplaneBucket(emb: Column, signBits: Int, table: Int = 0): Column =
+    graft.functions.GraftFunctions.hyperplaneBucket(emb, signBits, table)
+
+  /** Reference HOF formulation of the same bucket id: `signBits` nested
+    * aggregate-over-zip_with dot products. Interpreted per row — kept as
+    * the readable spec + cross-check twin, not the production path. */
+  def hyperplaneBucketHof(emb: Column, signBits: Int, table: Int = 0): Column = {
     val bits = (0 until signBits).map { p =>
       val dot = aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),

@@ -242,6 +242,26 @@ class FunctionsSpec extends SparkSpec {
     assert(got.length == 36)
   }
 
+  // --- hyperplane_bucket: native fused loop vs HOF spec ---------------------
+  test("native hyperplane_bucket is bit-identical to the HOF formulation") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 200).map { _ =>
+      Tuple1((0 until 32).map(_ => rnd.nextFloat() * 2 - 1).toArray)
+    }
+    val df = spark.createDataFrame(rows).toDF("e")
+    Seq((8, 0), (16, 1), (24, 3)).foreach { case (bits, t) =>
+      val got = df.select(
+        GraftFunctions.hyperplaneBucket(col("e"), bits, t).as("n"),
+        graft.ops.SimilaritySearch.hyperplaneBucketHof(col("e"), bits, t).as("h"))
+        .collect()
+      got.foreach { r =>
+        assert(!r.isNullAt(0) && r.getLong(0) == r.getLong(1),
+          s"bits=$bits table=$t: native=${r.get(0)} hof=${r.get(1)}")
+      }
+    }
+  }
+
   // --- topk_by: heap aggregate vs the row_number-window idiom ---------------
   test("topk_by equals window row_number top-k incl. ties (multi-partition merge path)") {
     GraftFunctions.register(spark)
