@@ -169,9 +169,11 @@ object Queries {
     // F3/J11: shared-token overlap |a∩b|/max(|a|,|b|) on same-(lang,source)
     // doc pairs. Token arrays are computed ONCE PER RECORD below the join
     // (VERDICT r1 "what's wrong #1": tokenizing per pair above the join was
-    // quadratic work Catalyst cannot push down), and the lossless size-ratio
-    // bound min/max >= 0.3 (implied by ov >= 0.3 since |a∩b| <= min) prunes
-    // pairs before the intersect. The corpus-scale near-dup path remains
+    // quadratic work Catalyst cannot push down), and the size-ratio bound
+    // min/max >= 0.29995 prunes pairs before the intersect — the 0.00005
+    // slack covers ROUNDING: the kept filter is round(ov,4) >= 0.3, which
+    // admits true ov as low as 0.29995, and |a∩b| <= min makes min/max an
+    // upper bound on ov, so the prune drops no row the oracle keeps. The corpus-scale near-dup path remains
     // Dedup.minhashPairs; this query pins exact overlap semantics.
     val d = t(s, dir, "documents")
       .select(col("lang"), col("source"), col("doc_id"),
@@ -182,7 +184,7 @@ object Queries {
       col("tk").as("tk2"), size(col("tk")).as("sz2"))
     a.join(b, Seq("lang", "source")).where(col("d1") < col("d2"))
       .where(least(col("sz1"), col("sz2")).cast("double") >=
-        lit(0.3) * greatest(col("sz1"), col("sz2")).cast("double"))
+        lit(0.29995) * greatest(col("sz1"), col("sz2")).cast("double"))
       .withColumn("ov", round(
         when(greatest(col("sz1"), col("sz2")) === 0, 0.0).otherwise(
           size(array_intersect(col("tk1"), col("tk2"))).cast("double") /

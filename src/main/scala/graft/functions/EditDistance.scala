@@ -120,6 +120,13 @@ object EditDistance {
   }
 
   def distance(s0: String, t0: String): Int = {
+    // Spark's levenshtein counts CODE POINTS, not UTF-16 units — strings
+    // containing surrogate pairs (non-BMP, e.g. emoji) must be compared as
+    // code-point arrays or the distance over-counts and levenshteinSim's
+    // numerator can exceed its length()-based denominator (negative sim).
+    // BMP-only strings take the cheaper char path below (char == code point).
+    if (hasSurrogate(s0) || hasSurrogate(t0))
+      return cpDistance(toCodePoints(s0), toCodePoints(t0))
     // pattern = shorter string (bit-vector over its positions)
     val (s, t) = if (s0.length <= t0.length) (s0, t0) else (t0, s0)
     val m = s.length
@@ -173,6 +180,91 @@ object EditDistance {
     i = 0
     while (i < nTouch) { peq(touch(i)) = 0L; i += 1 }
     score
+  }
+
+  private def hasSurrogate(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= Character.MIN_SURROGATE && c <= Character.MAX_SURROGATE) return true
+      i += 1
+    }
+    false
+  }
+
+  private def toCodePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Myers / DP over code-point arrays — the non-BMP slow path, value-
+    * identical to Spark's code-point levenshtein. */
+  private def cpDistance(s0: Array[Int], t0: Array[Int]): Int = {
+    val (s, t) = if (s0.length <= t0.length) (s0, t0) else (t0, s0)
+    val m = s.length
+    val n = t.length
+    if (m == 0) return n
+    if (m > 64) return dpDistanceCp(s, t)
+    val peqMap = new java.util.HashMap[Integer, java.lang.Long]()
+    var i = 0
+    while (i < m) {
+      val c = s(i)
+      val prev = peqMap.get(c)
+      peqMap.put(c, (if (prev == null) 0L else prev.longValue()) | (1L << i))
+      i += 1
+    }
+    var vp = if (m == 64) -1L else (1L << m) - 1L
+    var vn = 0L
+    var score = m
+    val highBit = 1L << (m - 1)
+    var j = 0
+    while (j < n) {
+      val v = peqMap.get(t(j))
+      val eq = if (v == null) 0L else v.longValue()
+      val xv = eq | vn
+      val xh = (((eq & vp) + vp) ^ vp) | eq
+      var ph = vn | ~(xh | vp)
+      var mh = vp & xh
+      if ((ph & highBit) != 0L) score += 1
+      if ((mh & highBit) != 0L) score -= 1
+      ph = (ph << 1) | 1L
+      mh = mh << 1
+      vp = mh | ~(xv | ph)
+      vn = ph & xv
+      j += 1
+    }
+    score
+  }
+
+  private def dpDistanceCp(s: Array[Int], t: Array[Int]): Int = {
+    val m = s.length
+    val n = t.length
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 0
+    while (i <= m) { prev(i) = i; i += 1 }
+    var j = 1
+    while (j <= n) {
+      cur(0) = j
+      val tc = t(j - 1)
+      var k = 1
+      while (k <= m) {
+        val cost = if (s(k - 1) == tc) 0 else 1
+        cur(k) = math.min(math.min(cur(k - 1) + 1, prev(k) + 1), prev(k - 1) + cost)
+        k += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      j += 1
+    }
+    prev(m)
   }
 
   /** Classic two-row DP fallback for patterns longer than 64 chars. */

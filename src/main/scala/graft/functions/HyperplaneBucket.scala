@@ -39,21 +39,12 @@ case class HyperplaneBucketExpr(child: Expression, bits: Int, table: Int)
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullable: Boolean = true
-
   override protected def nullSafeEval(v: Any): Any =
     HyperplaneBucketOp.bucket(v.asInstanceOf[ArrayData], isFloat, bits, table)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // result is a boxed Long (null when the vector has null elements) —
-    // route through the nullable-object codegen shape
-    val tmp = ctx.freshName("hb")
-    nullSafeCodeGen(ctx, ev, c => {
-      s"""java.lang.Long $tmp = graft.functions.HyperplaneBucketOp.bucket($c, $isFloat, $bits, $table);
-         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
-         |""".stripMargin
-    })
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneBucketOp.bucket($c, $isFloat, $bits, $table)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -93,13 +84,15 @@ object HyperplaneBucketOp {
     arr
   }
 
-  /** Bucket id; null when any vector element is null (matches the HOF
-    * null-propagation through cast/multiply/aggregate). */
-  def bucket(ad: ArrayData, isFloat: Boolean, bits: Int, table: Int): java.lang.Long = {
+  /** Bucket id. A vector containing a null element yields bucket 0 —
+    * EXACTLY the HOF twin's behavior: the null poisons the dot product,
+    * `when(dot >= 0, bit).otherwise(0)` takes the otherwise branch for
+    * every plane, and the bit sum is 0 (pinned in FunctionsSpec). */
+  def bucket(ad: ArrayData, isFloat: Boolean, bits: Int, table: Int): Long = {
     val n = ad.numElements()
     var i = 0
     while (i < n) {
-      if (ad.isNullAt(i)) return null
+      if (ad.isNullAt(i)) return 0L
       i += 1
     }
     var out = 0L
@@ -116,6 +109,6 @@ object HyperplaneBucketOp {
       if (acc >= 0) out |= (1L << p)
       p += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 }

@@ -67,6 +67,12 @@ object ConnectedComponents {
       e = next
     }
 
+    // Loop may exit on a persist-only iteration: the lazy output below still
+    // reads `e`, so cut it (eager, reads from the cache) and THEN release
+    // the cached frame — otherwise it stays in executor storage for the
+    // session lifetime (one leak per CC call at checkpointEvery > 1).
+    toUnpersist.foreach { cached => e = cut(e); cached.unpersist(); () }
+
     // e is now a star forest: (child -> root). Roots map to themselves.
     val assign = e.select(col("v").as("record_id"), col("u").as("cluster_id"))
       .union(e.select(col("u").as("record_id"), col("u").as("cluster_id")))

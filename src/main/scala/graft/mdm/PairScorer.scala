@@ -50,21 +50,25 @@ class HeuristicPairScorer(sim: (Column, Column) => Column,
 object PairScorer {
 
   /** Apply a scorer to an attached pair frame honoring its cost cap: the
-    * capped variant scores only the deterministic hash-ordered first N pairs
-    * (TakeOrderedAndProject — no global sort materializes) and left-joins
-    * the scores back, exactly the reference's separate `ai_matches` table
-    * LEFT JOIN shape (bigquery_utils.py:568-583). */
+    * capped variant selects the deterministic hash-ordered first N pair IDS
+    * on a NARROW id-only projection (TakeOrderedAndProject; column pruning
+    * strips the feature expressions from this pass), broadcasts the <= N-row
+    * id set back onto the single full pass, and computes the AI score inline
+    * for members only — the reference's separate `ai_matches` table LEFT
+    * JOIN shape (bigquery_utils.py:568-583) without executing the heavy
+    * attach+features pipeline twice or shuffling for the join-back. */
   def withAiScore(attached: DataFrame, scorer: PairScorer): DataFrame =
     scorer.maxPairs match {
       case None => attached.withColumn("ai_score", scorer.score(attached))
       case Some(n) =>
-        val capped = attached
+        val cappedIds = attached.select(col("id1"), col("id2"))
           .orderBy(xxhash64(col("id1"), col("id2")))
           .limit(n)
-        val scored = capped.select(col("id1"), col("id2"),
-          scorer.score(capped).as("ai_score_capped"))
-        attached.join(scored, Seq("id1", "id2"), "left")
-          .withColumn("ai_score", coalesce(col("ai_score_capped"), lit(0.0)))
-          .drop("ai_score_capped")
+          .withColumn("__capped", lit(true))
+        attached.join(broadcast(cappedIds), Seq("id1", "id2"), "left")
+          .withColumn("ai_score",
+            when(col("__capped").isNotNull, scorer.score(attached))
+              .otherwise(lit(0.0)))
+          .drop("__capped")
     }
 }

@@ -88,8 +88,32 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig()) {
       case Some(p) => p.unionByName(newKeys)
       case None => newKeys
     }
-    val cands = newKeys.toDF("nid", "block_key")
-      .join(allKeys.toDF("aid", "block_key"), Seq("block_key"))
+    // Salted new-vs-history join: the HISTORY side of a block key grows
+    // without bound across batches, so a raw equi-join would funnel
+    // |new_in_key| x |history_in_key| rows through the single task owning a
+    // hot key (one big domain = one quadratic task — the exact skew
+    // Pairs.candidates splits in the batch path). Salting the history side
+    // into ceil(kn / maxBlockSize) groups and exploding the (per-batch
+    // bounded) new side across them caps each task's history rows at
+    // maxBlockSize; keys with kn <= maxBlockSize degenerate to the plain
+    // join (one salt group). `dropBlocksLargerThan` (O5 stop-word-block
+    // rule) applies here too when configured.
+    val aAll = allKeys.toDF("aid", "block_key")
+    val counts = aAll.groupBy("block_key").agg(count(lit(1)).as("kn"))
+    val keptCounts = (cfg.dropBlocksLargerThan match {
+      case Some(maxN) => counts.where(col("kn") <= maxN)
+      case None => counts
+    }).withColumn("groups",
+      greatest(lit(1L), ceil(col("kn") / lit(cfg.maxBlockSize.toDouble))))
+      .select(col("block_key"), col("groups"))
+    val aSalted = aAll.join(keptCounts, Seq("block_key"))
+      .withColumn("salt", pmod(xxhash64(col("aid")), col("groups")))
+      .select(col("block_key"), col("salt"), col("aid"))
+    val nSalted = newKeys.toDF("nid", "block_key")
+      .join(keptCounts, Seq("block_key"))
+      .withColumn("salt", explode(sequence(lit(0L), col("groups") - 1)))
+      .select(col("block_key"), col("salt"), col("nid"))
+    val cands = nSalted.join(aSalted, Seq("block_key", "salt"))
       .where(col("nid") =!= col("aid"))
       .select(least(col("nid"), col("aid")).as("id1"),
         greatest(col("nid"), col("aid")).as("id2"))

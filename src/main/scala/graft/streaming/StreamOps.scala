@@ -31,7 +31,14 @@ object StreamOps {
     import spark.implicits._
     val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    // A month has no fixed millisecond length, so a month-bearing TTL can't
+    // be added to an epoch timestamp — reject it instead of silently
+    // dropping the months field (which would make the TTL 0 for "1 month").
+    require(ttlMs.months == 0,
+      s"firstSeenDedup ttl must be a day-time interval (got '$ttl'); " +
+        "use days, e.g. '30 days' instead of '1 month'")
     val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
+    require(ttlMillis > 0, s"firstSeenDedup ttl must be positive (got '$ttl')")
     pages.select(col("url_canon"), col("warc_ts"), col("record_id"))
       .as[PageEvent]
       .groupByKey(_.url_canon)

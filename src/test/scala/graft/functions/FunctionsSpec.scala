@@ -209,10 +209,18 @@ class FunctionsSpec extends SparkSpec {
       ("", ""), ("", "abc"), ("kitten", "sitting"), ("ab", "ba"),
       ("abcdef", "abcdef"), ("a" * 70 + "x", "a" * 70 + "y"), // DP fallback
       ("x" * 64, "y" * 64), ("flaw", "lawn"), ("résumé", "resume"),
-      ("Customer#000018908", "Customer#000070869"))
+      ("Customer#000018908", "Customer#000070869"),
+      // non-BMP: Spark counts CODE POINTS, not UTF-16 units — a surrogate
+      // pair must cost 1 edit, and levenshteinSim must stay >= 0
+      ("😀", "a"), ("a😀b", "ab"),
+      ("😀" * 40, "😁" * 40), // >64 UTF-16 units, 40 cps
+      ("😀" * 70, "😁" * 70)) // cp DP fallback
     val df = spark.createDataFrame(cases).toDF("a", "b")
     val bad = df.where(editDistance(col("a"), col("b")) =!= levenshtein(col("a"), col("b"))).count()
     assert(bad == 0L)
+    // the levenshteinSim range guarantee that code-unit counting broke
+    val sim = df.select(min(levenshteinSim(col("a"), col("b")))).head().getDouble(0)
+    assert(sim >= 0.0, s"levenshteinSim went negative: $sim")
   }
 
   // --- Jaro-Winkler conventions (oracle parity) ------------------------------
@@ -260,6 +268,13 @@ class FunctionsSpec extends SparkSpec {
           s"bits=$bits table=$t: native=${r.get(0)} hof=${r.get(1)}")
       }
     }
+    // null-element parity: the HOF's when(...).otherwise(0) swallows the
+    // null dot -> bucket 0; the native path must match, not return null
+    val withNull = spark.sql("SELECT array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)) AS e")
+    val nr = withNull.select(
+      GraftFunctions.hyperplaneBucket(col("e"), 8, 0).as("n"),
+      graft.ops.SimilaritySearch.hyperplaneBucketHof(col("e"), 8, 0).as("h")).head()
+    assert(!nr.isNullAt(0) && nr.getLong(0) == 0L && nr.getLong(1) == 0L)
   }
 
   // --- topk_by: heap aggregate vs the row_number-window idiom ---------------
