@@ -40,6 +40,28 @@ class IncrementalMdmSpec extends SparkSpec {
     pt.unpersist(); pages.unpersist()
   }
 
+  test("hot-key history salting (tiny maxBlockSize) still converges to the batch golden") {
+    // Force the salted new-vs-history join into MULTI-GROUP territory: with
+    // maxBlockSize=3 every shared block key larger than 3 members splits the
+    // history side into several salt groups and explodes the new side across
+    // them. The candidate pair SET must be unchanged (every new-vs-all pair
+    // within a key still meets in exactly one (key, salt) cell), so the
+    // incremental goldens must equal the batch run under the same config.
+    val cfg = MatchConfig(maxBlockSize = 3)
+    val pages = PageGen.pages(spark, 40).cache()
+    val batchGolden = goldenKey(Pipeline.run(pages, cfg).golden)
+    val dir = java.nio.file.Files.createTempDirectory("graft-salt").toString
+    val inc = new IncrementalMdm(new SnapshotStore(dir), cfg)
+    val withBatch = pages.withColumn("b", ntile(3).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("warc_ts"), col("url"))))
+    (1 to 3).foreach { b =>
+      inc.processBatch(withBatch.where(col("b") === b).drop("b"))
+    }
+    val store = new SnapshotStore(dir)
+    assert(goldenKey(store.readPart(spark, "state", "golden")) == batchGolden)
+    pages.unpersist()
+  }
+
   test("batch REPLAY after a simulated crash is idempotent and state stays crash-consistent") {
     val pages = PageGen.pages(spark, 40).cache()
     val withBatch = pages.withColumn("b", ntile(2).over(
