@@ -45,20 +45,7 @@ object BenchProbe {
       val s = b.getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
       graft.functions.GraftFunctions.register(s)
-      case class St(id: Int, name: String, runMs: Long, gcMs: Long,
-        cpuNs: Long, shufRead: Long, shufWrite: Long, nTasks: Int)
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        val stages = scala.collection.mutable.ArrayBuffer[St]()
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          val i = sc.stageInfo
-          val m = i.taskMetrics
-          stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(40),
-            m.executorRunTime, m.jvmGCTime, m.executorCpuTime,
-            m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
-            i.numTasks)
-        }
-      }
+      val listener = new StageMetrics.Collector
       job(s, persist) // warm
       s.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
@@ -66,11 +53,7 @@ object BenchProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
       println(f"[probe] $label cores=$cores pairs=$n wall=$dt%.1fs")
-      listener.stages.sortBy(-_.runMs).take(10).foreach { st =>
-        println(f"[probe]   stage ${st.id}%4d run=${st.runMs / 1000.0}%7.1fs " +
-          f"cpu=${st.cpuNs / 1e9}%7.1fs gc=${st.gcMs / 1000.0}%6.1fs " +
-          f"sRead=${st.shufRead / 1e6}%8.1fMB sWrite=${st.shufWrite / 1e6}%8.1fMB tasks=${st.nTasks}")
-      }
+      StageMetrics.printTop("probe", listener, 10)
       s.stop()
     }
 

@@ -62,18 +62,7 @@ object ScalingProbe {
         .getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
       graft.functions.GraftFunctions.register(s)
-      case class St(id: Int, runMs: Long, gcMs: Long, cpuNs: Long,
-        sr: Long, sw: Long, nTasks: Int)
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        val stages = scala.collection.mutable.ArrayBuffer[St]()
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          val i = sc.stageInfo
-          val m = i.taskMetrics
-          stages += St(i.stageId, m.executorRunTime, m.jvmGCTime, m.executorCpuTime,
-            m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten, i.numTasks)
-        }
-      }
+      val listener = new StageMetrics.Collector
       // Warm TWICE: executors are fresh JVMs; at high executor counts each
       // JVM sees only 1/N of the corpus per pass, so one pass may leave hot
       // codegen loops below C2 thresholds.
@@ -83,11 +72,7 @@ object ScalingProbe {
       val n = job(s)
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
-      listener.stages.sortBy(-_.runMs).take(8).foreach { st =>
-        println(f"[scal]   stage ${st.id}%4d run=${st.runMs / 1000.0}%7.1fs " +
-          f"cpu=${st.cpuNs / 1e9}%7.1fs gc=${st.gcMs / 1000.0}%6.1fs " +
-          f"sRead=${st.sr / 1e6}%8.1fMB sWrite=${st.sw / 1e6}%8.1fMB tasks=${st.nTasks}")
-      }
+      StageMetrics.printTop("scal", listener, 8)
       s.stop()
       (n, dt)
     }
