@@ -34,6 +34,9 @@ object GraftFunctions {
       "topk_by", exprs => TopKByExpr(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
+      "bottomk_by", exprs => TopKByExpr(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int], asc = true).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
       "hyperplane_bucket", exprs => HyperplaneBucketExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int]), "built-in")
@@ -52,6 +55,14 @@ object GraftFunctions {
     * `ord` a total order (e.g. `struct(score, -id)`) for determinism. */
   def topKBy(payload: Column, ord: Column, k: Int): Column =
     call_function("topk_by", payload, ord, lit(k))
+
+  /** Bottom-k twin of [[topKBy]]: the k payload values with the SMALLEST
+    * `ord` keys, ascending. Use when "best" = smallest — e.g. ordering by
+    * `struct(-score, id)` with a STRING id (ids cannot be negated for the
+    * max-variant's tie-break; ADVICE r2), or bounded lineage sampling
+    * (smallest-N member ids). Same size-k heap + map-side combine. */
+  def bottomKBy(payload: Column, ord: Column, k: Int): Column =
+    call_function("bottomk_by", payload, ord, lit(k))
 
   /** n-token shingle strings straight from text — native twin of
     * `shingles(tokens(text), n)`, byte-identical output (FunctionsSpec),

@@ -56,6 +56,7 @@ case class TopKByExpr(
     payload: Expression,
     ord: Expression,
     k: Int,
+    asc: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKState] {
@@ -64,7 +65,7 @@ case class TopKByExpr(
   override def nullable: Boolean = false
   override def dataType: DataType =
     ArrayType(payload.dataType, containsNull = payload.nullable)
-  override def prettyName: String = "topk_by"
+  override def prettyName: String = if (asc) "bottomk_by" else "topk_by"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (k <= 0)
@@ -74,8 +75,15 @@ case class TopKByExpr(
         s"topk_by ordering type ${ord.dataType.catalogString} is not orderable")
     else TypeCheckResult.TypeCheckSuccess
 
-  @transient private lazy val ordering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(ord.dataType)
+  // asc=true flips the comparator: the heap then keeps the k SMALLEST keys
+  // and eval emits them ascending — `bottomk_by`, needed when "best" means
+  // smallest (e.g. ordering by (-score, id) with a STRING id, which cannot
+  // be negated for the max-variant's tie-break; ADVICE r2 #2) and for
+  // bounded lineage sampling (smallest-N member ids per cluster).
+  @transient private lazy val ordering: Ordering[Any] = {
+    val base = TypeUtils.getInterpretedOrdering(ord.dataType)
+    if (asc) base.reverse else base
+  }
   @transient private lazy val pairProj: UnsafeProjection =
     UnsafeProjection.create(Array[DataType](ord.dataType, payload.dataType))
 

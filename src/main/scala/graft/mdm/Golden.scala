@@ -20,8 +20,16 @@ import graft.functions.GraftFunctions.masterId
   */
 object Golden {
 
+  /** Lineage arrays are SAMPLED beyond this many members (VERDICT r2
+    * what's-wrong #5): a mega-cluster (million-dupe boilerplate family) must
+    * not produce a multi-MB golden row. `source_record_count` stays EXACT
+    * (countDistinct) regardless of the cap. */
+  val DefaultLineageCap: Int = 10000
+
   /** assignments(record_id, cluster_id) x clean pages -> golden records. */
-  def apply(assignments: DataFrame, clean: DataFrame): DataFrame = {
+  def apply(assignments: DataFrame, clean: DataFrame,
+      lineageCap: Int = DefaultLineageCap): DataFrame = {
+    graft.functions.GraftFunctions.register(clean.sparkSession)
     val joined = clean.join(assignments, Seq("record_id")) // J9 inner equi-join
 
     joined.groupBy(col("cluster_id"))
@@ -38,10 +46,16 @@ object Golden {
         // A3 plain aggregates
         min(col("warc_ts")).as("first_seen"),
         max(col("warc_ts")).as("last_activity"),
-        // A4 / A5 lineage
+        // A4 / A5 lineage. record_ids: bottomk_by heap aggregate — the
+        // smallest `lineageCap` member ids ascending, with AT MOST cap
+        // entries per group per partition crossing the exchange (record_id
+        // is unique within a cluster, so below the cap this equals
+        // sort_array(collect_set)). domains: few distinct values per
+        // cluster — collect_set + slice caps the OUTPUT row size.
         countDistinct(col("record_id")).as("source_record_count"),
-        sort_array(collect_set(col("record_id"))).as("source_record_ids"),
-        sort_array(collect_set(col("domain"))).as("source_domains"))
+        graft.functions.GraftFunctions.bottomKBy(
+          col("record_id"), col("record_id"), lineageCap).as("source_record_ids"),
+        slice(sort_array(collect_set(col("domain"))), 1, lineageCap).as("source_domains"))
       .withColumn("master_id", masterId("url", col("canonical_url")))
       .select("master_id", "canonical_url", "master_url", "master_text",
         "master_lang", "most_complete_text", "first_seen", "last_activity",
@@ -57,7 +71,8 @@ object Golden {
     * older first_seen, and union lineage arrays; unmatched incoming rows
     * insert. A full-outer equi-join on the key — the Spark expression of
     * MERGE INTO, Iceberg/Delta-swappable. */
-  def merge(existing: DataFrame, incoming: DataFrame): DataFrame = {
+  def merge(existing: DataFrame, incoming: DataFrame,
+      lineageCap: Int = DefaultLineageCap): DataFrame = {
     val e = existing.toDF(existing.columns.map(c => s"e_$c"): _*)
     val i = incoming.toDF(incoming.columns.map(c => s"i_$c"): _*)
     val j = e.join(i, col("e_master_id") === col("i_master_id"), "full_outer")
@@ -66,6 +81,16 @@ object Golden {
     def pick(c: String) =
       when(incomingNewer, coalesce(col(s"i_$c"), col(s"e_$c")))
         .otherwise(coalesce(col(s"e_$c"), col(s"i_$c")))
+    val eIds = coalesce(col("e_source_record_ids"), array())
+    val iIds = coalesce(col("i_source_record_ids"), array())
+    val mergedIds = array_distinct(concat(eIds, iIds))
+    // Count semantics under the lineage cap: while BOTH sides' arrays are
+    // below the cap they are complete, so the distinct-union size is exact;
+    // once a side is capped the overlap is unknowable from the sample and
+    // the count falls back to the sum of the sides' exact counts (an upper
+    // bound, documented — Golden.apply recomputed from assignments is
+    // always exact).
+    val exactPossible = size(eIds) < lineageCap && size(iIds) < lineageCap
     j.select(
       coalesce(col("e_master_id"), col("i_master_id")).as("master_id"),
       coalesce(col("e_canonical_url"), col("i_canonical_url")).as("canonical_url"),
@@ -77,15 +102,13 @@ object Golden {
         coalesce(col("i_first_seen"), col("e_first_seen"))).as("first_seen"),
       greatest(coalesce(col("e_last_activity"), col("i_last_activity")),
         coalesce(col("i_last_activity"), col("e_last_activity"))).as("last_activity"),
-      size(array_distinct(concat(
-        coalesce(col("e_source_record_ids"), array()),
-        coalesce(col("i_source_record_ids"), array())))).cast("long").as("source_record_count"),
-      sort_array(array_distinct(concat(
-        coalesce(col("e_source_record_ids"), array()),
-        coalesce(col("i_source_record_ids"), array())))).as("source_record_ids"),
-      sort_array(array_distinct(concat(
+      when(exactPossible, size(mergedIds).cast("long"))
+        .otherwise(coalesce(col("e_source_record_count"), lit(0L)) +
+          coalesce(col("i_source_record_count"), lit(0L))).as("source_record_count"),
+      slice(sort_array(mergedIds), 1, lineageCap).as("source_record_ids"),
+      slice(sort_array(array_distinct(concat(
         coalesce(col("e_source_domains"), array()),
-        coalesce(col("i_source_domains"), array())))).as("source_domains"),
+        coalesce(col("i_source_domains"), array())))), 1, lineageCap).as("source_domains"),
       pick("cluster_id").as("cluster_id"))
   }
 }

@@ -30,12 +30,21 @@ object Dedup {
     * single task; the aggregate combines map-side to one row per family per
     * partition and the join back is AQE-skew-splittable. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // Null content is UNKNOWN, not equal: each null-text row is its own
+    // singleton group (dup_group null, canonical) rather than one giant
+    // all-nulls family — and it must not be silently dropped by the
+    // equi-join (null === null is not true; ADVICE r2 #1). Split the null
+    // rows off before grouping and union them back.
     val withGroup = df.withColumn("dup_group", sha2(col(textCol), 256))
-    val canon = withGroup.groupBy(col("dup_group"))
+    val nulls = withGroup.where(col(textCol).isNull)
+      .withColumn("is_canonical", lit(true))
+    val nonNull = withGroup.where(col(textCol).isNotNull)
+    val canon = nonNull.groupBy(col("dup_group"))
       .agg(min(col(idCol)).as("__canon_id"))
-    withGroup.join(canon, Seq("dup_group"))
+    nonNull.join(canon, Seq("dup_group"))
       .withColumn("is_canonical", col(idCol) === col("__canon_id"))
       .drop("__canon_id")
+      .unionByName(nulls)
   }
 
   /** Skew-safe distinct candidate pairs from (id, block_key) rows. */

@@ -28,7 +28,12 @@ object SimilaritySearch {
 
   /** Reference HOF formulation of the same bucket id: `signBits` nested
     * aggregate-over-zip_with dot products. Interpreted per row — kept as
-    * the readable spec + cross-check twin, not the production path. */
+    * the readable spec + cross-check twin, not the production path.
+    * A NULL embedding yields a NULL bucket (so null rows fall OUT of bucket
+    * equi-joins instead of colliding in bucket 0) — matching the native
+    * expression's null-intolerant semantics exactly (ADVICE r2 #3; the
+    * null-ARRAY case is pinned alongside the null-ELEMENT case in
+    * FunctionsSpec). */
   def hyperplaneBucketHof(emb: Column, signBits: Int, table: Int = 0): Column = {
     val bits = (0 until signBits).map { p =>
       val dot = aggregate(
@@ -37,20 +42,23 @@ object SimilaritySearch {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, 1L << p).otherwise(0L)
     }
-    bits.reduce(_ + _)
+    when(emb.isNull, lit(null).cast("long")).otherwise(bits.reduce(_ + _))
   }
 
-  /** Top-k rows per group without a sort: `topk_by` keeps a size-k heap per
-    * group per partition (map-side combine ships <= k rows per group per
-    * partition), vs the row_number-window form that shuffles and SORTS every
-    * candidate row. Ordering (`cos` desc, id asc) matches the window idiom's
-    * tie-break exactly. Emits (groupCol, rank, id, cos). */
+  /** Top-k rows per group without a sort: a size-k heap per group per
+    * partition (map-side combine ships <= k rows per group per partition),
+    * vs the row_number-window form that shuffles and SORTS every candidate
+    * row. Ordering (`cos` desc, id asc) matches the window idiom's tie-break
+    * exactly, expressed as bottom-k of (-cos, id) — the score (always
+    * numeric) is negated, the id is NOT, so string ids order correctly too
+    * (ADVICE r2: negating a string id silently casts to double/null and the
+    * tie-break went nondeterministic). Emits (groupCol, rank, id, cos). */
   private def topKPerGroup(scored: DataFrame, groupCol: String, k: Int): DataFrame =
     scored
       .groupBy(col(groupCol))
-      .agg(graft.functions.GraftFunctions.topKBy(
+      .agg(graft.functions.GraftFunctions.bottomKBy(
         struct(col("nid"), col("cos")),
-        struct(col("cos"), -col("nid")), k).as("top"))
+        struct(-col("cos"), col("nid")), k).as("top"))
       .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col(groupCol), (col("pos") + 1).as("rank"),
         col("t.nid").as("nid"), col("t.cos").as("cos"))
@@ -88,28 +96,31 @@ object SimilaritySearch {
       .orderBy("h").limit(nCentroids)
       .select(col("nid").as("cid"), col("ne").as("ce"))
 
-    // invert: nearest centroid per corpus vector. `max_by` (highest ccos,
-    // ties -> lowest cid) instead of a row_number window: the aggregate is a
-    // partial+final hash agg with map-side combine — no shuffle-sort of the
-    // N x nCentroids assignment rows (VERDICT r1: the window form sorts
-    // 1.6e10 rows at 1e9 vectors; the agg moves one row per vector).
+    // invert: nearest centroid per corpus vector. `min_by` over (-ccos, cid)
+    // (highest ccos, ties -> lowest cid — id un-negated so string centroid
+    // ids order correctly, ADVICE r2) instead of a row_number window: the
+    // aggregate is a partial+final hash agg with map-side combine — no
+    // shuffle-sort of the N x nCentroids assignment rows (VERDICT r1: the
+    // window form sorts 1.6e10 rows at 1e9 vectors; the agg moves one row
+    // per vector).
     val inverted = c.join(broadcast(centroids), lit(true))
       .withColumn("ccos", cosineSim(col("ne"), col("ce")))
       .groupBy(col("nid"))
       .agg(
-        max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+        min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cid"),
         first(col("ne")).as("ne")) // all rows of a group carry the same ne
       .select(col("cid"), col("nid"), col("ne"))
 
     // probe lists per query: nProbe nearest centroids via the heap aggregate
-    // (same ordering as the window form: ccos desc, ties -> lowest cid)
+    // (same ordering as the window form: ccos desc, ties -> lowest cid;
+    // bottom-k of (-ccos, cid) so string ids order correctly)
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
     val probes = q.join(broadcast(centroids), lit(true))
       .withColumn("ccos", cosineSim(col("qe"), col("ce")))
       .groupBy(col("qid"))
       .agg(first(col("qe")).as("qe"), // one qe per qid — identical in group
-        graft.functions.GraftFunctions.topKBy(
-          col("cid"), struct(col("ccos"), -col("cid")), nProbe).as("cids"))
+        graft.functions.GraftFunctions.bottomKBy(
+          col("cid"), struct(-col("ccos"), col("cid")), nProbe).as("cids"))
       .select(col("qid"), col("qe"), explode(col("cids")).as("cid"))
 
     topKPerGroup(

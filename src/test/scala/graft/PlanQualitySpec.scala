@@ -85,6 +85,19 @@ class PlanQualitySpec extends SparkSpec {
       s"ANN top-k fell back to a window sort:\n$p")
   }
 
+  test("q18 minhash bands: md5 pipeline computed once in the aggregate, not re-inlined (VERDICT r2 #2)") {
+    // The r2 form (array_min over transform, referenced by later band-key
+    // projections) let CollapseProject inline the whole shingle+md5 pipeline
+    // into every reference — its plan string carried dozens of md5 calls.
+    // The explode -> agg-min form computes each slot md5 exactly once; the
+    // plan must stay bounded: 4 slot-md5s (x2 for partial+final agg
+    // printing) + 2 band md5s per side.
+    val p = plan(Queries.q18_lsh_band_pairs(spark, dir))
+    val md5Count = "md5\\(".r.findAllIn(p).length
+    assert(md5Count <= 16, s"q18 plan re-inlined the md5 pipeline ($md5Count md5 calls):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("aggregates are partial+final hash aggregates (map-side combine)") {
     val p = plan(Queries.q01_agg_lineitem(spark, dir))
     assert(p.contains("HashAggregate"), p)

@@ -275,6 +275,14 @@ class FunctionsSpec extends SparkSpec {
       GraftFunctions.hyperplaneBucket(col("e"), 8, 0).as("n"),
       graft.ops.SimilaritySearch.hyperplaneBucketHof(col("e"), 8, 0).as("h")).head()
     assert(!nr.isNullAt(0) && nr.getLong(0) == 0L && nr.getLong(1) == 0L)
+    // null-ARRAY parity (ADVICE r2 #3): a NULL embedding yields a NULL
+    // bucket on BOTH paths — null rows fall out of bucket equi-joins
+    // instead of colliding in bucket 0
+    val nullArr = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS e")
+    val na = nullArr.select(
+      GraftFunctions.hyperplaneBucket(col("e"), 8, 0).as("n"),
+      graft.ops.SimilaritySearch.hyperplaneBucketHof(col("e"), 8, 0).as("h")).head()
+    assert(na.isNullAt(0) && na.isNullAt(1))
   }
 
   // --- topk_by: heap aggregate vs the row_number-window idiom ---------------
@@ -315,5 +323,31 @@ class FunctionsSpec extends SparkSpec {
     val sqlGot = spark.sql(
       "SELECT g, topk_by(id, score, 1) AS top FROM tkb GROUP BY g ORDER BY g").collect()
     assert(sqlGot(0).getSeq[Long](1) == Seq(12L))
+  }
+
+  test("bottomk_by: smallest-k ascending, and (-score, string id) tie-break is deterministic") {
+    GraftFunctions.register(spark)
+    // numeric bottom-k equals the ascending window idiom
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 1000).map { i => (i.toLong % 11, i.toLong, rnd.nextInt(20) / 20.0) }
+    val df = spark.createDataFrame(rows).toDF("g", "id", "score").repartition(7)
+    val agg = df.groupBy(col("g"))
+      .agg(GraftFunctions.bottomKBy(col("id"), struct(col("score"), col("id")), 4).as("bot"))
+      .select(col("g"), posexplode(col("bot")).as(Seq("pos", "id")))
+      .select(col("g"), (col("pos") + 1).as("rank"), col("id"))
+      .orderBy("g", "rank").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score"), col("id"))
+    val win = df.withColumn("rank", row_number().over(w)).where(col("rank") <= 4)
+      .select("g", "rank", "id").orderBy("g", "rank").collect().toSeq
+    assert(agg == win)
+    // STRING payload/tie-break (the ADVICE r2 case: -stringId casts to
+    // null under the max-variant; bottom-k of (-score, id) needs no negation)
+    val sdf = spark.createDataFrame(Seq(
+      (1L, "b", 0.9), (1L, "a", 0.9), (1L, "c", 0.5))).toDF("g", "id", "score")
+    val top1 = sdf.groupBy(col("g"))
+      .agg(GraftFunctions.bottomKBy(col("id"), struct(-col("score"), col("id")), 1).as("bot"))
+      .head().getSeq[String](1)
+    assert(top1 == Seq("a")) // highest score, tie -> lexicographically least id
   }
 }

@@ -51,6 +51,48 @@ class GoldenSpec extends SparkSpec {
       twice.orderBy("master_id").collect().toSeq)
   }
 
+  test("lineage cap: a 100k-member cluster yields a bounded array but an EXACT count") {
+    // VERDICT r2 what's-wrong #5: a mega-cluster (boilerplate family) must
+    // not produce a multi-MB golden row. The ids array is the smallest-N
+    // sample (bottomk_by heap — <= cap entries per partition cross the
+    // exchange); source_record_count stays exact via countDistinct.
+    val n = 100000
+    val clean = spark.range(n.toLong).select(
+      format_string("r%07d", col("id")).as("record_id"),
+      lit("https://hot.example/page").as("url_canon"),
+      lit("hot.example").as("domain"),
+      lit("boilerplate").as("text"),
+      lit("en").as("lang"),
+      lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("warc_ts"))
+    val assignments = clean.select(col("record_id"), lit("r0000000").as("cluster_id"))
+    val cap = 1000
+    val golden = Golden(assignments, clean, lineageCap = cap).collect()
+    assert(golden.length == 1)
+    val row = golden.head
+    assert(row.getAs[Long]("source_record_count") == n.toLong) // exact
+    val ids = row.getAs[scala.collection.Seq[String]]("source_record_ids")
+    assert(ids.size == cap) // bounded row
+    assert(ids.toList == (0 until cap).map(i => f"r$i%07d").toList) // smallest-N asc
+    // below the cap, behavior is identical to the uncapped collect_set form
+    val five = col("record_id") < "r0000005"
+    val small = Golden(assignments.where(five), clean.where(five)).head()
+    assert(small.getAs[scala.collection.Seq[String]]("source_record_ids").size == 5)
+  }
+
+  test("merge count under capped lineage: falls back to side-count sum (upper bound)") {
+    val capped = (0 until Golden.DefaultLineageCap).map(i => f"r$i%07d")
+    val existing = Seq(("m1", "https://a", "https://a", "t", "en", "t",
+      Timestamp.valueOf("2023-01-01 00:00:00"), Timestamp.valueOf("2023-06-01 00:00:00"),
+      20000L, capped, Seq("d.com"), "m1")).toDF(cols: _*)
+    val incoming = Seq(g("m1", "https://a", "t2", "2023-02-01 00:00:00",
+      "2024-01-01 00:00:00", Seq("zz1", "zz2"))).toDF(cols: _*)
+    val m = Golden.merge(existing, incoming).head()
+    // existing side is AT cap -> overlap unknowable -> count = 20000 + 2
+    assert(m.getAs[Long]("source_record_count") == 20002L)
+    assert(m.getAs[scala.collection.Seq[String]]("source_record_ids").size ==
+      Golden.DefaultLineageCap) // array stays bounded
+  }
+
   test("older incoming does NOT overwrite newer existing (most-recent-wins)") {
     val existing = Seq(g("m1", "https://a", "newer", "2023-01-01 00:00:00",
       "2024-06-01 00:00:00", Seq("r1"))).toDF(cols: _*)

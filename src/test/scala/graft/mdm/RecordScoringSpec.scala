@@ -53,6 +53,35 @@ class RecordScoringSpec extends SparkSpec {
     assert(got(1) == 0.0)
   }
 
+  test("J7 vector strategy: embeddings re-attach raises the score of covered pairs only") {
+    // Reference shape (bigquery_utils.py:262-298,404-424): a SAMPLED
+    // embedding table LEFT-JOINed back by record key; pairs with both
+    // vectors and cosine > 0.7 get vector_score = cosine, everyone else 0.
+    val ct = CustomerGen.customersWithTruth(spark, 40).cache()
+    val std = CustomerGen.standardized(ct).cache()
+    // near-identical vectors for every customer entity -> any covered pair
+    // clears the 0.7 gate; coverage = half the customer ids (a sample)
+    val emb = std.select(col("customer_id")).distinct()
+      .where(pmod(xxhash64(col("customer_id")), lit(2)) === 0)
+      .select(col("customer_id"),
+        array(lit(1.0f), lit(0.5f), lit(0.25f)).as("embedding"))
+    val base = RecordScoring(std).select("record1_id", "record2_id", "vector_score")
+    assert(base.where(col("vector_score") =!= 0.0).count() == 0) // no embeddings -> all 0
+    val withVec = RecordScoring(std, embeddings = Some(emb))
+      .select(col("record1_id"), col("record2_id"), col("vector_score"))
+    val nonZero = withVec.where(col("vector_score") > 0.7)
+    assert(nonZero.count() > 0) // covered pairs score through the gate
+    // every scored pair's BOTH sides must be in the embedding sample
+    val covered = emb.select(col("customer_id")).distinct()
+    val cid = std.select(col("record_id"), col("customer_id"))
+    val sides = nonZero
+      .join(cid.toDF("record1_id", "c1"), Seq("record1_id"))
+      .join(cid.toDF("record2_id", "c2"), Seq("record2_id"))
+    assert(sides.join(covered.toDF("c1"), Seq("c1"), "left_anti").count() == 0)
+    assert(sides.join(covered.toDF("c2"), Seq("c2"), "left_anti").count() == 0)
+    ct.unpersist(); std.unpersist()
+  }
+
   test("end-to-end RecordScoring over CustomerGen finds true duplicates (pairwise F1 >= 0.95)") {
     val ct = CustomerGen.customersWithTruth(spark, 80).cache()
     val std = CustomerGen.standardized(ct)

@@ -23,6 +23,18 @@ class OpsSpec extends SparkSpec {
     assert(d.where(col("id") === 4L).head().getAs[Boolean]("is_canonical"))
   }
 
+  test("exact dedup keeps null-text rows as canonical singletons (ADVICE r2 #1)") {
+    val withNulls = docs.unionByName(Seq(
+      (6L, null.asInstanceOf[String]), (7L, null.asInstanceOf[String])).toDF("id", "text"))
+    val d = Dedup.exact(withNulls, "text", "id")
+    assert(d.count() == 7) // contract: returns ALL input rows
+    val nullRows = d.where(col("id").isin(6L, 7L)).collect()
+    assert(nullRows.length == 2)
+    // null content is unknown, not equal: each null row is its own group
+    assert(nullRows.forall(_.getAs[Boolean]("is_canonical")))
+    assert(nullRows.forall(_.isNullAt(nullRows.head.fieldIndex("dup_group"))))
+  }
+
   test("minhash LSH finds exact+near dups, not unrelated docs") {
     // 64 hashes: the 1-token-edit pair has true shingle-Jaccard ~0.57; a
     // 16-slot estimate is too noisy to threshold reliably in a unit test.

@@ -114,12 +114,17 @@ class IncrementalMdmSpec extends SparkSpec {
     val store = new SnapshotStore(dir)
     new IncrementalMdm(store).processBatch(pages)
 
-    // audit: every scored pair with per-strategy scores + decision (match_results,
-    // streaming_processor.py:755-809)
+    // audit: every scored pair with per-strategy scores + decision + timing
+    // (match_results schema incl. processing_time_ms,
+    // spanner_utils.py:269-284; streaming_processor.py:755-809)
     val audit = store.readPartAll(spark, "state", "audit")
     assert(audit.columns.toSet.contains("exact_score"))
     assert(audit.columns.toSet.contains("match_decision"))
+    assert(audit.columns.toSet.contains("processing_time_ms"))
+    assert(audit.where(col("processing_time_ms") < 0).count() == 0)
     assert(audit.where(col("batch_seq") === 0).count() == audit.count())
+    // timing is also recorded in the manifest lineage counters
+    assert(store.manifest("state").get.contains("\"batch_wall_ms\""))
 
     // S7 staging: golden payload as JSON; round-trips through from_json
     val staging = store.readPartAll(spark, "state", "staging")
@@ -127,6 +132,58 @@ class IncrementalMdmSpec extends SparkSpec {
     val parsed = staging.select(col("master_id"),
       get_json_object(col("golden_record_data"), "$.master_id").as("mid2"))
     assert(parsed.where(col("master_id") =!= col("mid2")).count() == 0)
+  }
+
+  test("per-batch history scan stays O(batch-touched keys), not O(history) (VERDICT r2 #4)") {
+    val pages = PageGen.pages(spark, 50).cache()
+    val withBatch = pages.withColumn("b", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("warc_ts"), col("url"))))
+    val b1 = withBatch.where(col("b") === 1).drop("b").cache()
+    val b2 = withBatch.where(col("b") === 2).drop("b").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-scan").toString
+    val store = new SnapshotStore(dir)
+    val cfg = MatchConfig()
+    val inc = new IncrementalMdm(store, cfg)
+    inc.processBatch(b1)
+
+    // expected scan volume: HISTORY key rows under block keys that batch 2's
+    // NEW records actually touch — computed here from the same public
+    // building blocks the engine uses
+    val histKeys = store.readPartAll(spark, "state", "keys").cache()
+    val histTotal = histKeys.count()
+    val prevClean = store.readPartAll(spark, "state", "clean")
+    val newClean = Standardize(b2).dropDuplicates("record_id")
+      .join(prevClean.select("record_id"), Seq("record_id"), "left_anti")
+    val b2Keys = Blocking.blockKeys(newClean, cfg).select("block_key").distinct()
+    val expected = histKeys.join(b2Keys, Seq("block_key"), "left_semi").count()
+
+    inc.processBatch(b2)
+    val manifest = store.manifest("state").get
+    val scanned = """"history_rows_scanned":(\d+)""".r
+      .findFirstMatchIn(manifest).get.group(1).toLong
+    assert(scanned == expected, s"scanned=$scanned expected=$expected")
+    assert(scanned <= histTotal)
+    histKeys.unpersist(); b1.unpersist(); b2.unpersist(); pages.unpersist()
+  }
+
+  test("bucket-partitioned key log gets parquet partition pruning on filtered reads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val store = new SnapshotStore(dir)
+    def keysDf(ids: Range) = ids.map(i => (s"r$i", s"k${i % 7}", i % 4))
+      .toDF("record_id", "block_key", "key_bucket")
+    store.commitMany(Seq("keys" -> keysDf(0 until 40)), "s",
+      partitionByPart = Map("keys" -> Seq("key_bucket")))
+    store.commitMany(Seq("keys" -> keysDf(40 until 80)), "s",
+      partitionByPart = Map("keys" -> Seq("key_bucket")))
+    val read = store.readPartAll(spark, "s", "keys").where(col("key_bucket") === 3)
+    // the filter lands in the scan's PartitionFilters -> directory pruning,
+    // the mechanism that bounds streaming history scans at scale
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("key_bucket"),
+      s"expected partition pruning on key_bucket:\n$plan")
+    assert(read.count() == (0 until 80).count(_ % 4 == 3))
+    assert(read.columns.toSet == Set("record_id", "block_key", "key_bucket"))
   }
 
   test("F11 streaming weight preset keeps reference proportions and thresholds") {
