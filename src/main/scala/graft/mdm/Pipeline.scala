@@ -53,9 +53,16 @@ object Pipeline {
     val spark = pages.sparkSession
     GraftFunctions.register(spark)
 
+    // Clean-record snapshot is Hive-partitioned by capture date — the
+    // reference's own scale advice (PARTITION BY DATE(processed_at),
+    // batch_mdm_gcp/MDM_BATCH_PROCESSING.md:441-463; our recency column is
+    // warc_ts per the north rule): incremental re-runs and time-scoped
+    // audits prune to the touched dates at the parquet-directory level.
     val clean =
       if (store.has("standardize")) store.read(spark, "standardize")
-      else store.commit(Standardize(pages), "standardize")
+      else store.commit(
+        Standardize(pages).withColumn("capture_date", to_date(col("warc_ts"))),
+        "standardize", partitionBy = Seq("capture_date"))
 
     val withSig = Blocking.withSignature(clean, cfg)
       .select(Scoring.attachColumns.map(col): _*)

@@ -58,6 +58,11 @@ class PipelineSpec extends SparkSpec {
     val golden2 = r2.golden.orderBy("master_id").collect().map(_.toString)
     assert(golden1.sameElements(golden2))
     assert(store2.manifest("scored").exists(_.contains("candidates_generated")))
+    // the clean snapshot is date-partitioned (reference PARTITION BY advice)
+    val snapDirs = java.nio.file.Files.list(
+      store2.latestFor("standardize").get.resolve("data")).iterator()
+    assert(scala.jdk.CollectionConverters.IteratorHasAsScala(snapDirs).asScala
+      .exists(_.getFileName.toString.startsWith("capture_date=")))
     // matches the in-memory pipeline
     val mem = Pipeline.run(pages).golden.orderBy("master_id").collect().map(_.toString)
     assert(golden1.sameElements(mem))
