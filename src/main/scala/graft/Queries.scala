@@ -694,6 +694,56 @@ object Queries {
       .orderBy("k1", "k2")
   }
 
+  def q43_golden_merge(s: SparkSession, dir: String): DataFrame = {
+    // S5 bulk MERGE upsert, oracle-checked (was ScalaTest-only through r2):
+    // two golden-shaped tables built deterministically from customer rows
+    // (existing = even custkeys of nations <20, incoming = odd custkeys of
+    // nations >=10) so the merge exercises matched-update, insert, and
+    // untouched rows; Golden.merge's full-outer most-recent-wins semantics
+    // (spanner_utils.py insert_or_update shape) are replayed verbatim in the
+    // DuckDB oracle. Arrays are emitted as joined strings (driver hashing).
+    // recency_key = integer twin of struct(ts, custkey) ordering — both
+    // engines argmax over the identical integer.
+    import graft.mdm.Golden
+    val c = t(s, dir, "customer")
+      .withColumn("ts", date_add(to_date(lit("2024-01-01")),
+        pmod(col("c_custkey"), lit(365)).cast("int")))
+      .withColumn("recency_key",
+        pmod(col("c_custkey"), lit(365)) * 10000000L + col("c_custkey"))
+    def goldenSide(parity: Int, nationFilter: Column): DataFrame =
+      c.where(pmod(col("c_custkey"), lit(2)) === parity && nationFilter)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          min(col("c_name")).as("master_text"),
+          max_by(col("c_name"), col("recency_key")).as("master_url"),
+          min(col("ts")).as("first_seen"),
+          max(col("ts")).as("last_activity"),
+          countDistinct(col("c_custkey")).as("source_record_count"),
+          sort_array(collect_set(
+            concat(lit("r"), lpad(col("c_custkey").cast("string"), 7, "0")))).as("source_record_ids"),
+          sort_array(collect_set(
+            concat(lit("d"), pmod(col("c_custkey"), lit(3))))).as("source_domains"))
+        .select(
+          concat(lit("m"), lpad(col("c_nationkey").cast("string"), 2, "0")).as("master_id"),
+          concat(lit("nation:"), col("c_nationkey")).as("canonical_url"),
+          col("master_url"), col("master_text"),
+          lit("en").as("master_lang"),
+          col("master_text").as("most_complete_text"),
+          col("first_seen"), col("last_activity"),
+          col("source_record_count"), col("source_record_ids"), col("source_domains"),
+          concat(lit("m"), lpad(col("c_nationkey").cast("string"), 2, "0")).as("cluster_id"))
+    val existing = goldenSide(0, col("c_nationkey") < 20)
+    val incoming = goldenSide(1, col("c_nationkey") >= 10)
+    Golden.merge(existing, incoming)
+      .select(col("master_id"), col("master_url"), col("master_text"),
+        date_format(col("first_seen"), "yyyy-MM-dd").as("first_seen"),
+        date_format(col("last_activity"), "yyyy-MM-dd").as("last_activity"),
+        col("source_record_count"),
+        array_join(col("source_record_ids"), ",").as("lineage_ids"),
+        array_join(col("source_domains"), ",").as("domains"))
+      .orderBy("master_id")
+  }
+
   def q34_prefix_block_join(s: SparkSession, dir: String): DataFrame = {
     // J13: 3-char prefix block key equi-join (streaming_processor.py:118-131)
     val c = t(s, dir, "customer")
@@ -1198,6 +1248,54 @@ object Queries {
         |      ELSE upper(substr(p.p_name,1,1)) || rpad(coalesce(t.tail, ''), 3, '0') END AS sdx
         |FROM part p LEFT JOIN tails t ON p.p_name = t.s
         |ORDER BY p_partkey""".stripMargin,
+    "q43_golden_merge" ->
+      // Full-outer MERGE semantics replayed verbatim: incoming-newer =
+      // (existing missing OR incoming.last_activity >= existing's); when the
+      // incoming side is absent the >= comparison is NULL -> CASE falls to
+      // the existing side, exactly Spark's `i.isNotNull && ...` guard.
+      """WITH cust AS (
+        | SELECT c_custkey, c_nationkey, c_name,
+        |  DATE '2024-01-01' + (c_custkey % 365) AS ts,
+        |  (c_custkey % 365) * 10000000 + c_custkey AS rk
+        | FROM customer),
+        |g0 AS (
+        | SELECT 'm' || lpad(CAST(c_nationkey AS VARCHAR), 2, '0') AS master_id,
+        |  arg_max(c_name, rk) AS master_url, min(c_name) AS master_text,
+        |  min(ts) AS first_seen, max(ts) AS last_activity,
+        |  list_sort(list_distinct(list('r' || lpad(CAST(c_custkey AS VARCHAR), 7, '0')))) AS ids,
+        |  list_sort(list_distinct(list('d' || CAST(c_custkey % 3 AS VARCHAR)))) AS doms
+        | FROM cust WHERE c_custkey % 2 = 0 AND c_nationkey < 20 GROUP BY c_nationkey),
+        |g1 AS (
+        | SELECT 'm' || lpad(CAST(c_nationkey AS VARCHAR), 2, '0') AS master_id,
+        |  arg_max(c_name, rk) AS master_url, min(c_name) AS master_text,
+        |  min(ts) AS first_seen, max(ts) AS last_activity,
+        |  list_sort(list_distinct(list('r' || lpad(CAST(c_custkey AS VARCHAR), 7, '0')))) AS ids,
+        |  list_sort(list_distinct(list('d' || CAST(c_custkey % 3 AS VARCHAR)))) AS doms
+        | FROM cust WHERE c_custkey % 2 = 1 AND c_nationkey >= 10 GROUP BY c_nationkey),
+        |m AS (
+        | SELECT coalesce(e.master_id, i.master_id) AS master_id,
+        |  CASE WHEN e.master_id IS NULL OR i.last_activity >= e.last_activity
+        |       THEN coalesce(i.master_url, e.master_url)
+        |       ELSE coalesce(e.master_url, i.master_url) END AS master_url,
+        |  CASE WHEN e.master_id IS NULL OR i.last_activity >= e.last_activity
+        |       THEN coalesce(i.master_text, e.master_text)
+        |       ELSE coalesce(e.master_text, i.master_text) END AS master_text,
+        |  least(coalesce(e.first_seen, i.first_seen), coalesce(i.first_seen, e.first_seen)) AS fs,
+        |  greatest(coalesce(e.last_activity, i.last_activity),
+        |           coalesce(i.last_activity, e.last_activity)) AS la,
+        |  len(list_distinct(list_concat(coalesce(e.ids, CAST([] AS VARCHAR[])),
+        |                                coalesce(i.ids, CAST([] AS VARCHAR[]))))) AS source_record_count,
+        |  array_to_string(list_sort(list_distinct(list_concat(
+        |    coalesce(e.ids, CAST([] AS VARCHAR[])),
+        |    coalesce(i.ids, CAST([] AS VARCHAR[]))))), ',') AS lineage_ids,
+        |  array_to_string(list_sort(list_distinct(list_concat(
+        |    coalesce(e.doms, CAST([] AS VARCHAR[])),
+        |    coalesce(i.doms, CAST([] AS VARCHAR[]))))), ',') AS domains
+        | FROM g0 e FULL OUTER JOIN g1 i ON e.master_id = i.master_id)
+        |SELECT master_id, master_url, master_text,
+        | strftime(fs, '%Y-%m-%d') AS first_seen, strftime(la, '%Y-%m-%d') AS last_activity,
+        | source_record_count, lineage_ids, domains
+        |FROM m ORDER BY master_id""".stripMargin,
     "q42_vector_strategy" ->
       """SELECT k1, k2, vector_score FROM (
         | SELECT a.c_custkey AS k1, b.c_custkey AS k2,
@@ -1326,6 +1424,7 @@ object Queries {
     "q40_match_audit" -> (q40_match_audit _),
     "q41_best_match_combine" -> (q41_best_match_combine _),
     "q42_vector_strategy" -> (q42_vector_strategy _),
+    "q43_golden_merge" -> (q43_golden_merge _),
     // converted from rows-only to fully oracle-checked in round 2:
     "er_jaro_winkler" -> (er_jaro_winkler _),
     "er_cc_fixpoint" -> (er_cc_fixpoint _),
