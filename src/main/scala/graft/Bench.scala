@@ -28,23 +28,36 @@ object Bench {
     * JSON was recorded in such a window and is inadmissible). */
   private val AllocHealthyGbps = 2.0
 
-  /** Block until the host's alloc path is healthy (or the bounded wait is
-    * exhausted — never hang the driver): probe, sleep, retry. Returns the
-    * LAST probe (copy, alloc) and the number of attempts used. */
-  private def probeGate(label: String,
-      maxTries: Int = sys.env.getOrElse("SPARK_GRAFT_PROBE_TRIES", "40").toInt,
-      sleepMs: Long = 30000): (Double, Double, Int) = {
+  /** Global run deadline (VERDICT r3 next #1b): r3's bench burned the whole
+    * driver budget inside unbounded probe gates and emitted NOTHING
+    * (rc=124, parsed:null). Every gate and every optional phase checks this;
+    * the final JSON line is ALWAYS emitted with whatever completed. */
+  private var deadlineNanos: Long = Long.MaxValue
+  private def remainingSec: Double = (deadlineNanos - System.nanoTime()) / 1e9
+
+  /** Cumulative probe-gate sleep budget across ALL gate sites (r3 had >=5
+    * sites x 20 min each with no shared cap). Decremented by every sleep. */
+  private var gateBudgetMs: Long = 0L
+
+  /** Block until the host's alloc path is healthy, the shared gate budget is
+    * exhausted, or the global deadline is near — never hang the driver.
+    * Returns the LAST probe (copy, alloc) and the number of attempts used. */
+  private def probeGate(label: String, sleepMs: Long = 30000): (Double, Double, Int) = {
     var tries = 0
-    var last = (0.0, 0.0)
-    while (tries < maxTries) {
+    var last = hostProbe()
+    tries += 1
+    while (last._2 < AllocHealthyGbps && gateBudgetMs > 0 && remainingSec > 120) {
+      System.err.println(
+        f"[bench] $label: host alloc path degraded (${last._2}%.2f GB/s < $AllocHealthyGbps); waiting " +
+          f"(gate budget ${gateBudgetMs / 1000}s, deadline in $remainingSec%.0fs)")
+      val nap = math.min(sleepMs, gateBudgetMs)
+      Thread.sleep(nap)
+      gateBudgetMs -= nap
       last = hostProbe()
       tries += 1
-      if (last._2 >= AllocHealthyGbps) return (last._1, last._2, tries)
-      System.err.println(
-        f"[bench] $label: host alloc path degraded (${last._2}%.2f GB/s < $AllocHealthyGbps); waiting")
-      Thread.sleep(sleepMs)
     }
-    System.err.println(s"[bench] $label: host never recovered after $maxTries probes; proceeding")
+    if (last._2 < AllocHealthyGbps)
+      System.err.println(s"[bench] $label: proceeding on a degraded host (budget/deadline exhausted)")
     (last._1, last._2, tries)
   }
 
@@ -68,8 +81,21 @@ object Bench {
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchLevel", cores.toString, parts.toString, input)
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toVector
-    p.waitFor()
+    // Bounded by the global deadline: a child parked on a degraded host must
+    // not eat the whole driver budget (r3's rc=124). The reader thread
+    // drains stdout so the child never blocks on a full pipe.
+    val outBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() =>
+      scala.io.Source.fromInputStream(p.getInputStream).getLines().foreach(outBuf.add))
+    reader.setDaemon(true); reader.start()
+    val finished = p.waitFor(
+      math.max(60, remainingSec.toLong - 60), java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      p.destroyForcibly()
+      throw new IllegalStateException(s"level $cores exceeded the global deadline; killed")
+    }
+    reader.join(5000)
+    val out = outBuf.toArray(Array.empty[String]).toVector
     out.find(_.startsWith("SCALE_RESULT")) match {
       case Some(l) =>
         val kv = l.split("\\s+").drop(1).map(_.split("=")).map(a => a(0) -> a(1)).toMap
@@ -149,6 +175,36 @@ object Bench {
     (best, alloc)
   }
 
+  // --- emission state (VERDICT r3 next #1) -------------------------------
+  // The driver records only a ~2,000-char stdout TAIL. r1-r3 printed one
+  // >3,000-char JSON line (55 per-query timings inline) at the very END of
+  // the run — it never fit the window, and r3's timeout meant nothing was
+  // printed at all. The fix is the CHANNEL: the full per-query map goes to a
+  // FILE, stdout gets (a) a compact suite-only line as soon as part 1 ends
+  // and (b) a compact (<~1,500 char) final line, printed LAST, assembled
+  // from whatever completed — a shutdown hook emits it even on SIGTERM.
+  private val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @volatile private var suiteTotal: Double = -1.0
+  @volatile private var suiteRuns: Int = 0
+  @volatile private var suiteTotals: Seq[Double] = Nil
+  @volatile private var nQueries: Int = 0
+  @volatile private var nFailed: Int = 0
+  @volatile private var sfDirV: String = ""
+  @volatile private var hostJson: String = """"host_probe":{}"""
+  @volatile private var scalingJson: String = "null"
+  @volatile private var gatedOut: List[String] = Nil
+  @volatile private var runError: String = ""
+  private val FullJsonPath = "target/bench_full.json"
+
+  private def finalLine(): String = {
+    val gated = gatedOut.reverse.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    val err = if (runError.isEmpty) "" else s""","error":"$runError""""
+    f"""{"metric":"total","value":$suiteTotal%.3f,"unit":"sec","n_queries":$nQueries,"n_failed":$nFailed,"suite_runs":$suiteRuns,"suite_totals":${suiteTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"sf":"$sfDirV","full_json":"$FullJsonPath",$hostJson,"scaling":$scalingJson,"gated_out":$gated$err}"""
+  }
+
+  private def emitFinal(): Unit =
+    if (emitted.compareAndSet(false, true)) { println(finalLine()); Console.flush() }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -156,128 +212,160 @@ object Bench {
     // inputs make fixed scan/shuffle overheads dominate and the N-vs-4N
     // efficiency measurement meaningless.
     val benchEntities = sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTITIES", "200000").toInt
+    // Global deadline (default 45 min) and the shared probe-gate sleep
+    // budget (default 10 min across ALL gate sites — r3 had no shared cap
+    // and gates alone could absorb >100 min).
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "2700").toLong
+    deadlineNanos = System.nanoTime() + deadlineSec * 1000000000L
+    gateBudgetMs = sys.env.getOrElse("SPARK_GRAFT_GATE_BUDGET_SEC", "600").toLong * 1000L
+    sfDirV = sfDir
+    // SIGTERM (driver `timeout`) runs shutdown hooks: whatever has completed
+    // still lands on stdout as the compact final line.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!emitted.get()) { runError = "killed_before_completion"; emitFinal() }
+    }))
 
-    // --- part 1: contract queries ---------------------------------------
-    // Failures are RECORDED, never masked (VERDICT r1: a broken query must
-    // not look like a fast query). The whole run is gated on a healthy host
-    // (VERDICT r2 next #1) — wall times from a degraded window are garbage.
-    val (copyStart, allocStart, _) = probeGate("suite-start")
-    var spark = session(cpus)
-    def runSuite(): (Seq[(String, Double)], scala.collection.mutable.LinkedHashMap[String, String]) = {
-      val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-      val res = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case e: Throwable =>
-          errs(name) = (e.getClass.getSimpleName + ": " +
-            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
-              .replaceAll("[\"\\\\]", "'")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-      (res, errs)
-    }
-    var (results, errors) = runSuite()
-    var suiteRuns = 1
-    // The start gate cannot protect against a collapse that begins MID-suite
-    // (observed: full alloc-path collapse within minutes of a healthy probe).
-    // If the post-suite probe is sick, the timings are contaminated —
-    // re-gate and re-run the whole suite once, keeping the faster run
-    // (identical code; the lower total is the less host-inflated one).
-    if (hostProbe()._2 < AllocHealthyGbps) {
-      probeGate("suite-retry")
-      val (r2, e2) = runSuite()
-      suiteRuns += 1
-      if (r2.map(_._2).sum < results.map(_._2).sum) { results = r2; errors = e2 }
-    }
-    val total = results.map(_._2).sum
-
-    // --- part 2: scaling protocol ----------------------------------------
-    // Write the synthetic corpus ONCE, then run the identical job at N and
-    // 4N cores against the written files (BASELINE.md §scaling). The level
-    // pair is configurable; the default sits below this box's shared-memory-
-    // bandwidth saturation knee so the measurement reflects the SOFTWARE's
-    // scaling (hash-partitioned exchanges, no driver funnels, skew-split
-    // blocks) rather than single-box hardware contention — on a real fleet
-    // each 4N executor brings its own memory channels. The saturated 8->32
-    // pair is still measured and reported alongside for transparency.
-    val levelsEnv = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8")
-    val Array(nLo, nHi) = levelsEnv.split(",").map(_.trim.toInt)
-    require(nHi == 4 * nLo, s"scale levels must be N,4N — got $levelsEnv")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
-    val inputPath = s"$tmp/pages"
-    PageGen.pages(spark, benchEntities, hotEntities = math.min(benchEntities / 50, 800))
-      .repartition(128)
-      .write.mode("overwrite").parquet(inputPath)
-    val nPages = spark.read.parquet(inputPath).count()
-    spark.stop()
-
-    // Each level runs in its own FRESH CHILD JVM (identical JIT state, own
-    // heap — r1's shared-JVM sequencing gave whichever level ran first the
-    // whole C2 compilation bill) with the shuffle partition count FIXED
-    // across levels (64): same plan, same tasks, only the core count varies.
-    val fixedParts = 64
-    val levelRes = scala.collection.mutable.LinkedHashMap[Int, (Long, Double, Double)]()
-    Seq(nLo, nHi).foreach { c => levelRes(c) = runLevel(c, fixedParts, inputPath) }
-    // Single-box wall times are noisy (this VM's apparent speed was observed
-    // to swing ±40% across a 45-minute window — noisy neighbors); best-of-N
-    // interleaved rounds is the standard defense. The retry guard is
-    // SYMMETRIC (VERDICT r2 next #1): eff < 0.82 means the HI level may have
-    // run slow, but an implausible eff > ~1.05 (superlinear core scaling)
-    // means the LO level ran slow — r2's 1.689 artifact came from a sick
-    // lo-level being ACCEPTED. Either way re-run both levels and keep each
-    // level's best throughput — bounded and reported as-is.
-    def effOf(): Double = {
-      val (pLo, sLo, _) = levelRes(nLo); val (pHi, sHi, _) = levelRes(nHi)
-      ((pHi / sHi) / (pLo / sLo)) / 4.0
-    }
-    var extraRounds = 0
-    while ((effOf() < 0.82 || effOf() > 1.05) && extraRounds < 3) {
-      Seq(nLo, nHi).foreach { c =>
-        val again = runLevel(c, fixedParts, inputPath)
-        val (pb, sb, _) = levelRes(c)
-        if (again._1 / again._2 > pb / sb) levelRes(c) = again
-      }
-      extraRounds += 1
-    }
-    // informational levels AFTER the protocol pair (they must not sit
-    // between the pair's measurement rounds); SPARK_GRAFT_SCALE_INFO=0
-    // skips them (smoke runs — the protocol pair alone decides the rule)
-    if (sys.env.getOrElse("SPARK_GRAFT_SCALE_INFO", "1") != "0")
-      Seq(16, 32).filterNot(Seq(nLo, nHi).contains)
-        .foreach { c => levelRes(c) = runLevel(c, fixedParts, inputPath) }
-    val (pairsLo, secLo, _) = levelRes(nLo)
-    val (pairsHi, secHi, _) = levelRes(nHi)
-    val thrLo = pairsLo / secLo
-    val thrHi = pairsHi / secHi
-    val eff = effOf()
-
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val levelsJson = levelRes.map { case (c, (n, t, alloc)) =>
-      f""""cores_$c":{"sec":$t%.2f,"pairs_per_sec":${n / t}%.0f,"alloc_gbps_at_launch":$alloc%.2f}""" }
-      .mkString("{", ",", "}")
-    val scaling =
-      f"""{"pages":$nPages,"pairs_scored":$pairsHi,"protocol":"local[$nLo] vs local[$nHi] (N vs 4N cores), fresh JVM per level, shuffle partitions fixed at 64; see BASELINE.md scaling section",""" +
-        f""""n_lo":$nLo,"n_hi":$nHi,"lo_sec":$secLo%.2f,"hi_sec":$secHi%.2f,""" +
-        f""""pairs_per_sec_lo":$thrLo%.0f,"pairs_per_sec_hi":$thrHi%.0f,""" +
-        f""""levels":$levelsJson,"scaling_efficiency":$eff%.3f}"""
-    // Host-health stamps: taken BEFORE the query suite and AFTER the
-    // protocol. copy ~8 / alloc ~2+ GB/s = healthy box; alloc << 1 GB/s =
-    // co-tenant page-fault-path pressure inflating every wall time in this
-    // JSON (see BASELINE.md §scaling).
-    val (copyEnd, allocEnd) = hostProbe()
-    val host = f""""host_probe":{"copy_gbps_start":$copyStart%.2f,"alloc_gbps_start":$allocStart%.2f,"copy_gbps_end":$copyEnd%.2f,"alloc_gbps_end":$allocEnd%.2f}"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${errors.size},"errors":$errJson,"suite_runs":$suiteRuns,"sf":"$sfDir",$host,"scaling":$scaling}""")
-    // cleanup temp corpus
     try {
-      def rm(p: java.io.File): Unit = {
-        if (p.isDirectory) p.listFiles().foreach(rm); p.delete(); ()
+      // --- part 1: contract queries -------------------------------------
+      // Failures are RECORDED, never masked (VERDICT r1: a broken query must
+      // not look like a fast query). Gated on a healthy host (VERDICT r2
+      // next #1) — wall times from a degraded window are garbage.
+      val (copyStart, allocStart, _) = probeGate("suite-start")
+      var spark = session(cpus)
+      def runSuite(): (Seq[(String, Double)], scala.collection.mutable.LinkedHashMap[String, String]) = {
+        val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+        val res = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+          catch { case e: Throwable =>
+            errs(name) = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
+                .replaceAll("[\"\\\\]", "'")
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        (res, errs)
       }
-      rm(new java.io.File(tmp))
-    } catch { case _: Throwable => () }
+      var (results, errors) = runSuite()
+      suiteRuns = 1
+      suiteTotals = Seq(results.map(_._2).sum)
+      // The start gate cannot protect against a collapse that begins
+      // MID-suite (observed: full alloc-path collapse within minutes of a
+      // healthy probe). If the post-suite probe is sick, re-gate and re-run
+      // the whole suite once in a FRESH session (ADVICE r3: a warm-session
+      // rerun is systematically advantaged — cached codegen, warm page
+      // cache — so 'keep faster' would conflate host recovery with warm-up).
+      // Both totals are recorded in the JSON so the kept run is auditable.
+      if (hostProbe()._2 < AllocHealthyGbps && remainingSec > 600) {
+        probeGate("suite-retry")
+        spark.stop()
+        spark = session(cpus)
+        val (r2, e2) = runSuite()
+        suiteRuns = 2
+        suiteTotals = suiteTotals :+ r2.map(_._2).sum
+        if (r2.map(_._2).sum < results.map(_._2).sum) { results = r2; errors = e2 }
+      }
+      val total = results.map(_._2).sum
+      suiteTotal = total; nQueries = results.size; nFailed = errors.size
+
+      // Full per-query map + errors -> FILE (referenced from the compact
+      // stdout lines; never inlined — it is what overflowed the tail r1-r3).
+      val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val errJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+      val hostStart = f""""host_probe":{"copy_gbps_start":$copyStart%.2f,"alloc_gbps_start":$allocStart%.2f}"""
+      new java.io.File("target").mkdirs()
+      java.nio.file.Files.write(java.nio.file.Paths.get(FullJsonPath),
+        s"""{"queries":$qs,"errors":$errJson,"suite_totals":${suiteTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"sf":"$sfDir",$hostStart}"""
+          .getBytes("UTF-8"))
+      // Suite-only line NOW (VERDICT r3 next #1c): a later timeout in the
+      // scaling protocol must not lose the query timings from the tail.
+      println(f"""{"phase":"suite","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"suite_runs":$suiteRuns,"suite_totals":${suiteTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"sf":"$sfDir","full_json":"$FullJsonPath"}""")
+      Console.flush()
+
+      // --- part 2: scaling protocol -------------------------------------
+      // Write the synthetic corpus ONCE, then run the identical job at N and
+      // 4N cores against the written files (BASELINE.md §scaling). The level
+      // pair is configurable; the default sits below this box's shared-
+      // memory-bandwidth saturation knee so the measurement reflects the
+      // SOFTWARE's scaling (hash-partitioned exchanges, no driver funnels,
+      // skew-split blocks) rather than single-box hardware contention — on a
+      // real fleet each 4N executor brings its own memory channels. The
+      // saturated 16/32-core levels are informational.
+      val levelsEnv = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8")
+      val Array(nLo, nHi) = levelsEnv.split(",").map(_.trim.toInt)
+      require(nHi == 4 * nLo, s"scale levels must be N,4N — got $levelsEnv")
+      if (remainingSec < 300) {
+        gatedOut ::= "scaling_protocol"
+        spark.stop()
+      } else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+        val inputPath = s"$tmp/pages"
+        PageGen.pages(spark, benchEntities, hotEntities = math.min(benchEntities / 50, 800))
+          .repartition(128)
+          .write.mode("overwrite").parquet(inputPath)
+        val nPages = spark.read.parquet(inputPath).count()
+        spark.stop()
+
+        // Each level runs in its own FRESH CHILD JVM (identical JIT state,
+        // own heap) with the shuffle partition count FIXED across levels
+        // (64): same plan, same tasks, only the core count varies.
+        val fixedParts = 64
+        val levelRes = scala.collection.mutable.LinkedHashMap[Int, (Long, Double, Double)]()
+        Seq(nLo, nHi).foreach { c => levelRes(c) = runLevel(c, fixedParts, inputPath) }
+        // Single-box wall times are noisy; best-of-N interleaved rounds is
+        // the standard defense. The retry guard is SYMMETRIC (VERDICT r2
+        // next #1): eff < 0.82 -> HI level may have run slow; implausible
+        // eff > ~1.05 (superlinear) -> LO level ran slow. Either way re-run
+        // both levels (deadline permitting) and keep each level's best.
+        def effOf(): Double = {
+          val (pLo, sLo, _) = levelRes(nLo); val (pHi, sHi, _) = levelRes(nHi)
+          ((pHi / sHi) / (pLo / sLo)) / 4.0
+        }
+        var extraRounds = 0
+        while ((effOf() < 0.82 || effOf() > 1.05) && extraRounds < 3 && remainingSec > 300) {
+          Seq(nLo, nHi).foreach { c =>
+            val again = runLevel(c, fixedParts, inputPath)
+            val (pb, sb, _) = levelRes(c)
+            if (again._1 / again._2 > pb / sb) levelRes(c) = again
+          }
+          extraRounds += 1
+        }
+        // informational levels AFTER the protocol pair (they must not sit
+        // between the pair's measurement rounds); skipped on a tight
+        // deadline or SPARK_GRAFT_SCALE_INFO=0 (the pair alone decides).
+        Seq(16, 32).filterNot(Seq(nLo, nHi).contains).foreach { c =>
+          if (sys.env.getOrElse("SPARK_GRAFT_SCALE_INFO", "1") == "0" || remainingSec < 240)
+            gatedOut ::= s"info_level_$c"
+          else levelRes(c) = runLevel(c, fixedParts, inputPath)
+        }
+        val (pairsLo, secLo, _) = levelRes(nLo)
+        val (pairsHi, secHi, _) = levelRes(nHi)
+        val levelsJson = levelRes.map { case (c, (n, t, alloc)) =>
+          f""""cores_$c":{"sec":$t%.2f,"pairs_per_sec":${n / t}%.0f,"alloc_gbps_at_launch":$alloc%.2f}""" }
+          .mkString("{", ",", "}")
+        scalingJson =
+          f"""{"pages":$nPages,"pairs_scored":$pairsHi,"protocol":"local[$nLo] vs local[$nHi] (N vs 4N cores), fresh JVM per level, 64 shuffle parts; BASELINE.md scaling","n_lo":$nLo,"n_hi":$nHi,"lo_sec":$secLo%.2f,"hi_sec":$secHi%.2f,"pairs_per_sec_lo":${pairsLo / secLo}%.0f,"pairs_per_sec_hi":${pairsHi / secHi}%.0f,"levels":$levelsJson,"scaling_efficiency":${effOf()}%.3f}"""
+        // cleanup temp corpus
+        try {
+          def rm(p: java.io.File): Unit = {
+            if (p.isDirectory) p.listFiles().foreach(rm); p.delete(); ()
+          }
+          rm(new java.io.File(tmp))
+        } catch { case _: Throwable => () }
+      }
+      // Host-health stamps: BEFORE the suite and AFTER the protocol.
+      // copy ~8 / alloc ~2+ GB/s = healthy box; alloc << 1 GB/s = co-tenant
+      // page-fault-path pressure inflating every wall time in this JSON.
+      val (copyEnd, allocEnd) = hostProbe()
+      hostJson = f""""host_probe":{"copy_gbps_start":$copyStart%.2f,"alloc_gbps_start":$allocStart%.2f,"copy_gbps_end":$copyEnd%.2f,"alloc_gbps_end":$allocEnd%.2f}"""
+    } catch {
+      case e: Throwable =>
+        runError = (e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(120))
+            .replaceAll("[\"\\\\]", "'")
+    }
+    emitFinal()
   }
 }
 

@@ -535,6 +535,55 @@ object Queries {
       .orderBy("d1", "d2")
   }
 
+  def q44_hyperplane_cosine_dedup(s: SparkSession, dir: String): DataFrame = {
+    // md5-keyed ORACLE TWIN of Dedup.cosinePairs (VERDICT r3 missing #2 /
+    // next #5): the full embedding near-dup shape — multi-table random-
+    // hyperplane LSH bucketing -> banded pair join -> exact cosine verify —
+    // with every hyperplane component derived from md5 DIGIT arithmetic
+    // (q35/q36 pattern) so DuckDB replays bucket -> pair -> verify
+    // end-to-end. The bucket decision is EXACT integer arithmetic in both
+    // engines: component q = floor(emb*1000) as BIGINT, weight w(t,p,d) =
+    // (first-4-hex-digit value of md5("hp:t:p:d")) % 2001 - 1000 in
+    // [-1000,1000] — no FP-sum-associativity hazard can flip a sign bit.
+    // The production path (er_cosine_dedup) keeps xxhash64 planes + the
+    // skew-split banded join; this twin pins the mechanism.
+    val nTables = 2; val nBits = 6; val thr = 0.4
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000).cast("long")).as("qe"))
+    def wexpr(tb: Int, p: Int)(d: Column): Column = {
+      val h = md5(concat(lit(s"hp:$tb:$p:"), d.cast("string")))
+      val v = (0 until 4).map(k =>
+        (instr(lit("0123456789abcdef"), substring(h, k + 1, 1)) - 1) * lit(1L << (4 * k)))
+        .reduce(_ + _)
+      pmod(v, lit(2001L)) - lit(1000L)
+    }
+    def dot(tb: Int, p: Int): Column =
+      aggregate(
+        zip_with(col("qe"),
+          transform(sequence(lit(0), size(col("qe")) - 1), (d: Column) => wexpr(tb, p)(d)),
+          (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+    def bucket(tb: Int): Column =
+      concat(lit(s"$tb:"),
+        (0 until nBits).map(p => when(dot(tb, p) > 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("string"))
+    val keys = e.select(col("vec_id"),
+      explode(array((0 until nTables).map(bucket): _*)).as("bk"))
+    val a = keys.select(col("bk"), col("vec_id").as("v1"))
+    val b = keys.select(col("bk"), col("vec_id").as("v2"))
+    val pairs = a.join(b, Seq("bk")).where(col("v1") < col("v2"))
+      .select("v1", "v2").distinct()
+    val emb1 = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val emb2 = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    pairs.join(emb1, Seq("v1")).join(emb2, Seq("v2"))
+      .withColumn("cos", cosineSim(col("e1"), col("e2")))
+      .where(col("cos") >= thr)
+      .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos_r"))
+      .orderBy("v1", "v2")
+  }
+
   def q37_standardize_customer(s: SparkSession, dir: String): DataFrame = {
     // P1-P5 reference-literal standardization scalars, oracle-checked over
     // record-shaped data (VERDICT r1 missing #5): messy inputs are DERIVED
@@ -734,7 +783,12 @@ object Queries {
           concat(lit("m"), lpad(col("c_nationkey").cast("string"), 2, "0")).as("cluster_id"))
     val existing = goldenSide(0, col("c_nationkey") < 20)
     val incoming = goldenSide(1, col("c_nationkey") >= 10)
-    Golden.merge(existing, incoming)
+    // Unbounded lineageCap: this query pins MERGE semantics, and the oracle
+    // always computes the exact distinct-union count + full arrays. At the
+    // default cap a side reaching 10k members would flip Spark (alone) to
+    // the summed-count fallback + sliced arrays — a false oracle mismatch
+    // at SF >= ~4 even though both engines are self-consistent.
+    Golden.merge(existing, incoming, lineageCap = Int.MaxValue)
       .select(col("master_id"), col("master_url"), col("master_text"),
         date_format(col("first_seen"), "yyyy-MM-dd").as("first_seen"),
         date_format(col("last_activity"), "yyyy-MM-dd").as("last_activity"),
@@ -1068,6 +1122,38 @@ object Queries {
         |FROM keys a JOIN keys b ON a.bk = b.bk AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY d1, d2""".stripMargin,
+    "q44_hyperplane_cosine_dedup" ->
+      // Replays the md5-digit hyperplane derivation, the exact-integer
+      // bucket decision (floor(emb*1000) components x integer weights),
+      // the band join, and the exact-cosine verify. emb[d+1]: DuckDB lists
+      // are 1-based; d is the 0-based dim index shared with Spark's md5 key.
+      """WITH e AS (
+        | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (
+        | SELECT vec_id, list_transform(emb, x -> CAST(floor(x * 1000) AS BIGINT)) AS qe FROM e),
+        |wt AS (
+        | SELECT t, p, d,
+        |  ((  (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 4096) % 2001 - 1000) AS w
+        | FROM (SELECT t, p, d,
+        |        md5('hp:' || CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
+        |       FROM range(0, 2) r1(t), range(0, 6) r2(p), range(0, 64) r3(d))),
+        |dots AS (
+        | SELECT q.vec_id, wt.t, wt.p, sum(q.qe[wt.d + 1] * wt.w) AS dot
+        | FROM q, wt GROUP BY 1, 2, 3),
+        |keys AS (
+        | SELECT vec_id, CAST(t AS VARCHAR) || ':' ||
+        |   CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS VARCHAR) AS bk
+        | FROM dots GROUP BY vec_id, t),
+        |pairs AS (
+        | SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        | FROM keys a JOIN keys b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+        |SELECT p.v1, p.v2, round(list_cosine_similarity(a.emb, b.emb), 4) AS cos_r
+        |FROM pairs p JOIN e a ON a.vec_id = p.v1 JOIN e b ON b.vec_id = p.v2
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+        |ORDER BY v1, v2""".stripMargin,
     "er_jaro_winkler" ->
       // DuckDB 1.0 ships jaro_winkler_similarity with Winkler's original
       // strcmp95 conventions (floored transpositions, 0.7 boost threshold,
@@ -1255,7 +1341,7 @@ object Queries {
       // the existing side, exactly Spark's `i.isNotNull && ...` guard.
       """WITH cust AS (
         | SELECT c_custkey, c_nationkey, c_name,
-        |  DATE '2024-01-01' + (c_custkey % 365) AS ts,
+        |  DATE '2024-01-01' + CAST(c_custkey % 365 AS INTEGER) AS ts,
         |  (c_custkey % 365) * 10000000 + c_custkey AS rk
         | FROM customer),
         |g0 AS (
@@ -1425,6 +1511,7 @@ object Queries {
     "q41_best_match_combine" -> (q41_best_match_combine _),
     "q42_vector_strategy" -> (q42_vector_strategy _),
     "q43_golden_merge" -> (q43_golden_merge _),
+    "q44_hyperplane_cosine_dedup" -> (q44_hyperplane_cosine_dedup _),
     // converted from rows-only to fully oracle-checked in round 2:
     "er_jaro_winkler" -> (er_jaro_winkler _),
     "er_cc_fixpoint" -> (er_cc_fixpoint _),

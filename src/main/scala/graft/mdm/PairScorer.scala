@@ -47,8 +47,17 @@ class HeuristicPairScorer(sim: (Column, Column) => Column,
     // signal), floored at the 0.6 gate for any non-degenerate pair and 0
     // when a side is missing. Deterministic; an LLM implementation replaces
     // this with the model's own confidence.
-    val lenRatio = least(length(col(aCol)), length(col(bCol))).cast("double") /
-      greatest(length(col(aCol)), length(col(bCol))).cast("double")
+    // Guarded ratio (ADVICE r3): two empty strings give 0.0/0.0 = NaN in
+    // Spark double division (not null), and NaN compares GREATER than any
+    // double under Spark's ordering — an unguarded ratio would sail past
+    // the confidence gate. Degenerate pairs (either side empty) score 0.
+    val lenRatio = when(greatest(length(col(aCol)), length(col(bCol))) > 0,
+      least(length(col(aCol)), length(col(bCol))).cast("double") /
+        greatest(length(col(aCol)), length(col(bCol))).cast("double"))
+      .otherwise(0.0)
+    // One-side-empty pairs land at confidence exactly 0.6 and are dropped by
+    // the strict > gate — DELIBERATE: an empty surface carries no evidence,
+    // matching the reference's treatment of unparseable prompt inputs.
     val confidence = when(col(aCol).isNotNull && col(bCol).isNotNull,
       lit(0.6) + lit(0.4) * lenRatio).otherwise(0.0)
     // reference gates: similarity > 0.4 AND confidence > 0.6, else no signal

@@ -68,6 +68,23 @@ object Pairs {
       .distinct() // a pair may share several block keys (domain AND bands)
   }
 
+  /** O5 observability (VERDICT r3 next #7): how much the stop-word-block cap
+    * actually dropped — blocks over the ceiling and the member rows inside
+    * them. A production 100-TB run wants the cap ON and auditable; lineage
+    * counters make silent coverage loss visible in the snapshot manifest.
+    * Empty when the cap is off (the oracle-default). Single-row metadata
+    * aggregate — not a data-path collect. */
+  def droppedBlockStats(blockKeys: DataFrame, cfg: MatchConfig): Map[String, Long] =
+    cfg.dropBlocksLargerThan match {
+      case None => Map.empty
+      case Some(ceilN) =>
+        val r = blockKeys.groupBy("block_key").agg(count(lit(1)).as("bsize"))
+          .where(col("bsize") > ceilN)
+          .agg(count(lit(1)).as("nb"), coalesce(sum(col("bsize")), lit(0L)).as("nr"))
+          .collect()(0)
+        Map("blocks_dropped" -> r.getLong(0), "rows_in_dropped_blocks" -> r.getLong(1))
+    }
+
   /** Attach both sides' attributes to candidate pairs. The two join inputs
     * are the same (already-blocked) clean dataset — Spark plans these as
     * shuffled hash / sort-merge joins on the id; at 100 TB the clean side is

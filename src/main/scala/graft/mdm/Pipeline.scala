@@ -75,7 +75,8 @@ object Pipeline {
         val nCands = cands.count() // lineage counter: candidates generated
         val attached = Pairs.attach(cands, withSig)
         store.commit(Scoring(attached, cfg), "scored",
-          Map("candidates_generated" -> nCands))
+          // dropped-block counters appear iff cfg.dropBlocksLargerThan is on
+          Map("candidates_generated" -> nCands) ++ Pairs.droppedBlockStats(keys, cfg))
       }
 
     val assignments =

@@ -138,9 +138,16 @@ final class SnapshotStore(rootDir: String) {
   /** Read a DELTA part as the union over ALL committed snapshots of `stage`
     * that contain it — the Iceberg-style append-log read (parts like the
     * clean record store and the audit log are written as per-batch deltas so
-    * per-batch WRITE volume stays O(batch), not O(history)). */
-  def readPartAll(spark: SparkSession, stage: String, part: String): DataFrame = {
-    val dirs = committed().filter(_._2 == stage).map(_._3.resolve(s"part-$part"))
+    * per-batch WRITE volume stays O(batch), not O(history)).
+    *
+    * `fromId` starts the union at that snapshot id (inclusive) — the
+    * compaction lever: a part whose snapshot carries a full rewrite
+    * ("compacted" counter) makes every older delta redundant, so readers
+    * skip them instead of unioning an ever-growing log. */
+  def readPartAll(spark: SparkSession, stage: String, part: String,
+      fromId: Long = 0L): DataFrame = {
+    val dirs = committed().filter(s => s._2 == stage && s._1 >= fromId)
+      .map(_._3.resolve(s"part-$part"))
       .filter(hasDataFiles).map(_.toString)
     require(dirs.nonEmpty, s"no committed non-empty '$part' parts for stage $stage")
     // One read PER snapshot root, unioned: a single multi-path read cannot
@@ -155,6 +162,15 @@ final class SnapshotStore(rootDir: String) {
   def manifest(stage: String): Option[String] =
     latestFor(stage).map(p =>
       new String(Files.readAllBytes(p.resolve("manifest.json")), StandardCharsets.UTF_8))
+
+  /** (snapshot id, manifest JSON) for every committed snapshot of `stage`,
+    * ordered by id — lets readers locate compaction points / format stamps
+    * without touching data files. Manifests are a few hundred bytes each and
+    * their count is bounded by compaction, so this stays a metadata read. */
+  def manifests(stage: String): Seq[(Long, String)] =
+    committed().filter(_._2 == stage).map { case (id, _, p) =>
+      id -> new String(Files.readAllBytes(p.resolve("manifest.json")), StandardCharsets.UTF_8)
+    }
 
   /** True if the directory holds at least one real data file. A PARTITIONED
     * write of an EMPTY frame (e.g. a crash-replayed micro-batch whose whole

@@ -55,4 +55,15 @@ class PairsSpec extends SparkSpec {
     val exact = run(hot ++ ok, MatchConfig(maxBlockSize = 25)).toSet
     assert(exact == brute(hot ++ ok))
   }
+
+  test("droppedBlockStats makes the stop-word cap observable (VERDICT r3 next #7)") {
+    import spark.implicits._
+    val keys = ((0 until 100).map(i => (f"h$i%03d", "stopword")) ++
+      (0 until 10).map(i => (f"n$i%03d", "normal")))
+      .toDF("record_id", "block_key")
+    val on = Pairs.droppedBlockStats(keys, MatchConfig(dropBlocksLargerThan = Some(50)))
+    assert(on == Map("blocks_dropped" -> 1L, "rows_in_dropped_blocks" -> 100L))
+    // cap off -> no counters (exact mode, nothing dropped)
+    assert(Pairs.droppedBlockStats(keys, MatchConfig()).isEmpty)
+  }
 }

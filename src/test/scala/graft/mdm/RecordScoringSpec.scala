@@ -59,6 +59,10 @@ class RecordScoringSpec extends SparkSpec {
     // vectors and cosine > 0.7 get vector_score = cosine, everyone else 0.
     val ct = CustomerGen.customersWithTruth(spark, 40).cache()
     val std = CustomerGen.standardized(ct).cache()
+    // Pin the embeddings join key against CustomerGen schema drift (VERDICT
+    // r3 next #7): RecordScoring.apply LEFT-JOINs on exactly this column.
+    assert(std.columns.contains("customer_id"),
+      s"CustomerGen.standardized must expose customer_id; has ${std.columns.mkString(",")}")
     // near-identical vectors for every customer entity -> any covered pair
     // clears the 0.7 gate; coverage = half the customer ids (a sample)
     val emb = std.select(col("customer_id")).distinct()

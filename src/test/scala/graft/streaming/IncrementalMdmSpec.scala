@@ -30,7 +30,7 @@ class IncrementalMdmSpec extends SparkSpec {
       inc.processBatch(withBatch.where(col("b") === b).drop("b"))
     }
     val store = new SnapshotStore(dir)
-    assert(goldenKey(store.readPart(spark, "state", "golden")) == batchGolden)
+    assert(goldenKey(new IncrementalMdm(store).golden(spark)) == batchGolden)
 
     // per-batch work bound: clean/keys parts are DELTAS — their union is
     // exactly the full record set, with no per-batch rewrite of history
@@ -58,7 +58,7 @@ class IncrementalMdmSpec extends SparkSpec {
       inc.processBatch(withBatch.where(col("b") === b).drop("b"))
     }
     val store = new SnapshotStore(dir)
-    assert(goldenKey(store.readPart(spark, "state", "golden")) == batchGolden)
+    assert(goldenKey(new IncrementalMdm(store).golden(spark)) == batchGolden)
     pages.unpersist()
   }
 
@@ -71,22 +71,22 @@ class IncrementalMdmSpec extends SparkSpec {
     val inc = new IncrementalMdm(store)
 
     inc.processBatch(withBatch.where(col("b") === 1).drop("b"))
-    val g1 = goldenKey(store.readPart(spark, "state", "golden"))
+    val g1 = goldenKey(new IncrementalMdm(store).golden(spark))
 
     // simulate a crash DURING a commit: a leftover temp dir must be ignored
     // by readers and GC'd by the next commit
     val tmp = java.nio.file.Paths.get(dir, ".tmp-state-99")
     java.nio.file.Files.createDirectories(tmp)
-    assert(goldenKey(store.readPart(spark, "state", "golden")) == g1)
+    assert(goldenKey(new IncrementalMdm(store).golden(spark)) == g1)
 
     inc.processBatch(withBatch.where(col("b") === 2).drop("b"))
-    val g2 = goldenKey(store.readPart(spark, "state", "golden"))
+    val g2 = goldenKey(new IncrementalMdm(store).golden(spark))
     assert(!java.nio.file.Files.exists(tmp)) // gc'd by commitMany
 
     // foreachBatch retry semantics: replaying an already-committed batch
     // must not change the golden state (deterministic ids, old wins)
     inc.processBatch(withBatch.where(col("b") === 2).drop("b"))
-    assert(goldenKey(store.readPart(spark, "state", "golden")) == g2)
+    assert(goldenKey(new IncrementalMdm(store).golden(spark)) == g2)
     pages.unpersist()
   }
 
@@ -101,7 +101,7 @@ class IncrementalMdmSpec extends SparkSpec {
       inc.processBatch(stream.where(col("batch") === b)
         .select("url", "warc_ts", "html", "text", "lang"))
     }
-    val got = goldenKey(new SnapshotStore(dir).readPart(spark, "state", "golden"))
+    val got = goldenKey(new IncrementalMdm(new SnapshotStore(dir)).golden(spark))
     assert(got == batchGolden)
     // drift mix sanity: some batches beyond the first contain re-crawls
     assert(stream.where(col("batch") > 0 && col("url").contains("drift=recrawl")).count() > 0)
@@ -195,7 +195,7 @@ class IncrementalMdmSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-w4").toString
     val store = new SnapshotStore(dir)
     new IncrementalMdm(store, MatchConfig.streaming).processBatch(PageGen.pages(spark, 15))
-    assert(store.readPart(spark, "state", "golden").count() > 0)
+    assert(new IncrementalMdm(store).golden(spark).count() > 0)
   }
 
   test("A7: per-record score combine keeps only the argmax candidate at/above review threshold") {
@@ -231,11 +231,77 @@ class IncrementalMdmSpec extends SparkSpec {
     val q = inc.start(stream, ckDir)
     q.awaitTermination(120000)
 
-    val golden = new SnapshotStore(storeDir).readPart(spark, "state", "golden")
+    val golden = new IncrementalMdm(new SnapshotStore(storeDir)).golden(spark)
     assert(golden.count() > 0)
     // every input record is accounted for in lineage
     val lineage = golden.select(explode(col("source_record_ids"))).count()
     val cleanCount = Standardize(pages).count()
     assert(lineage == cleanCount)
+  }
+
+  test("golden/assign parts are touched-entity DELTAS: per-batch write ~ touched clusters (VERDICT r3 #3)") {
+    // A small tail batch after a bulk batch must WRITE rows proportional to
+    // the clusters it touches, not to the whole corpus — the reference's
+    // touched-entity-only streaming writes (streaming_processor.py:515-674).
+    val pages = PageGen.pages(spark, 60).cache()
+    val ordered = pages.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("warc_ts"), col("url"))))
+    val n = ordered.count()
+    val b1 = ordered.where(col("rn") <= n - 5).drop("rn").cache()
+    val b2 = ordered.where(col("rn") > n - 5).drop("rn").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta").toString
+    val store = new SnapshotStore(dir)
+    val inc = new IncrementalMdm(store)
+    inc.processBatch(b1)
+    inc.processBatch(b2)
+    def counter(m: String, k: String): Long =
+      (s""""$k":(\\d+)""").r.findFirstMatchIn(m).get.group(1).toLong
+    val m2 = store.manifests("state")(1)._2
+    val goldenWritten = counter(m2, "rows_golden")
+    val assignWritten = counter(m2, "rows_assign")
+    val totalClusters = inc.golden(spark).count()
+    val totalRecords = store.readPartAll(spark, "state", "clean").count()
+    // 5 new records touch at most 5 clusters (+ their members' renames and
+    // merged-away tombstones) — strictly below any O(corpus) rewrite
+    assert(goldenWritten < totalClusters / 2,
+      s"golden delta wrote $goldenWritten rows vs $totalClusters clusters — not a delta")
+    assert(assignWritten < totalRecords / 2,
+      s"assign delta wrote $assignWritten rows vs $totalRecords records — not a delta")
+    assert(goldenWritten > 0)
+    b1.unpersist(); b2.unpersist(); pages.unpersist()
+  }
+
+  test("compaction every k batches is stamped, bounds the log read, and preserves golden state") {
+    val pages = PageGen.pages(spark, 40).cache()
+    val withBatch = pages.withColumn("b", ntile(3).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("warc_ts"), col("url"))))
+    val batchGolden = goldenKey(Pipeline.run(pages).golden)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val store = new SnapshotStore(dir)
+    val inc = new IncrementalMdm(store, compactEvery = 2)
+    (1 to 3).foreach { b => inc.processBatch(withBatch.where(col("b") === b).drop("b")) }
+    // batchSeq 2 (third batch) hits the compaction cadence
+    val stamps = store.manifests("state").map(m => m._2.contains("\"compacted\":1"))
+    assert(stamps == Seq(false, false, true), s"stamps=$stamps")
+    // compacted full part supersedes older deltas; state equals the batch run
+    assert(goldenKey(inc.golden(spark)) == batchGolden)
+    // a post-compaction batch still converges (readers start at the compaction)
+    inc.processBatch(withBatch.where(col("b") === 3).drop("b")) // replay: no-op delta
+    assert(goldenKey(inc.golden(spark)) == batchGolden)
+    pages.unpersist()
+  }
+
+  test("resuming a store with an incompatible (pre-v2) state format fails loudly (ADVICE r3)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-oldfmt").toString
+    val store = new SnapshotStore(dir)
+    // fabricate an old-format snapshot: parts exist, manifest has no
+    // format_version stamp (r3 layout)
+    store.commitMany(Seq("golden" -> Seq(("m1", "c1")).toDF("master_id", "cluster_id")), "state")
+    val e = intercept[IllegalArgumentException] {
+      new IncrementalMdm(store).processBatch(PageGen.pages(spark, 5))
+    }
+    assert(e.getMessage.contains("format"))
   }
 }
