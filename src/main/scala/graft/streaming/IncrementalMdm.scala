@@ -221,20 +221,6 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     }).distinct()
     val (repAssign, ccIters) = ConnectedComponents.applyWithStats(mapped, repNodes, cfg)
 
-    val baseAssign = prevAssign match {
-      case Some(asg) => asg.unionByName(
-        newWithSig.select(col("record_id"), col("record_id").as("cluster_id")))
-      case None => newWithSig.select(col("record_id"), col("record_id").as("cluster_id"))
-    }
-    // `rep` kept alongside the final mapping: rep != cluster_id identifies
-    // the records whose assignment CHANGED this batch — the assign DELTA.
-    val assignChanged = baseAssign.toDF("record_id", "rep")
-      .join(repAssign.toDF("rep", "cid"), Seq("rep"), "left")
-      .select(col("record_id"), col("rep"),
-        coalesce(col("cid"), col("rep")).as("cluster_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val assignFinal = assignChanged.select("record_id", "cluster_id")
-
     // --- touched-entity-only deltas (VERDICT r3 missing #3) ---------------
     // The r3 layout rewrote the FULL assign and golden parts every
     // micro-batch — O(corpus) written per batch regardless of batch size.
@@ -243,12 +229,27 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     // re-expression is latest-delta-wins logs keyed by record_id / cluster_id
     // with tombstones for merged-away clusters and periodic compaction.
     //
-    // assign delta = new records + records whose cluster id changed (members
-    // of clusters that merged): O(batch + affected-cluster members).
-    val assignDelta = assignChanged.where(col("cluster_id") =!= col("rep"))
-      .unionByName(
-        assignChanged.join(newWithSig.select("record_id"), Seq("record_id"), "left_semi"))
-      .select("record_id", "cluster_id").distinct()
+    // assign delta = new records + members of RENAMED clusters, built
+    // directly (no full-corpus re-map join per batch): renamedReps is
+    // O(batch-affected clusters), so the members join touches only their
+    // rows; the only remaining O(corpus) per-batch cost is the latest-wins
+    // assembly of prevAssign itself (a read the r3 full-part layout paid
+    // too), bounded by compaction.
+    val renamedReps = repAssign.toDF("cluster_id", "new_cid")
+      .where(col("new_cid") =!= col("cluster_id"))
+    val renamedMembers = prevAssign match {
+      case Some(asg) => asg.join(renamedReps, Seq("cluster_id"))
+        .select(col("record_id"), col("new_cid").as("cluster_id"))
+      case None =>
+        newWithSig.select(col("record_id"), col("record_id").as("cluster_id")).limit(0)
+    }
+    // new records: rep == own record id; singleton -> itself
+    val newAssign = newWithSig.select(col("record_id"), col("record_id").as("rep"))
+      .join(repAssign.toDF("rep", "cid"), Seq("rep"), "left")
+      .select(col("record_id"), coalesce(col("cid"), col("record_id")).as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // disjoint by construction: renamedMembers ⊆ history, newAssign = batch
+    val assignDelta = renamedMembers.unionByName(newAssign)
       .withColumn("batch_seq", lit(batchSeq.toLong))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val touchedCids = assignDelta.select("cluster_id").distinct()
@@ -277,9 +278,7 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     } else null
     // Partial golden over the batch's NEW records only — no history clean
     // scan; Golden.mergePartials folds it with the committed touched rows.
-    val assignNew = assignFinal
-      .join(newWithSig.select("record_id"), Seq("record_id"), "left_semi")
-    val newPartial = Golden.partialWithState(assignNew, newWithSig)
+    val newPartial = Golden.partialWithState(newAssign, newWithSig)
       .select(partialCols.map(col): _*)
     val goldenFresh = Golden.mergePartials(
       if (prevGoldenTouched == null) newPartial
@@ -300,9 +299,10 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
         .unionByName(tombstones, allowMissingColumns = true))
 
     // Periodic compaction: every CompactEvery batches the committed parts ARE
-    // the full state (assignFinal is already the complete mapping; the full
-    // golden = committed state minus touched/tombstoned ids plus this batch's
-    // fresh rows), stamped "compacted" so readers skip all older deltas.
+    // the full state (assign rebuilt by re-keying prevAssign through the
+    // renames; the full golden = committed state minus touched/tombstoned ids
+    // plus this batch's fresh rows), stamped "compacted" so readers skip all
+    // older deltas.
     // Amortized write cost: O(corpus / CompactEvery) per batch.
     val compact = prevExists && batchSeq % compactEvery == 0
     val (assignOut, goldenOut) =
@@ -313,13 +313,20 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
             Seq("cluster_id"), "left_anti")
           .select((Seq("master_id") ++ partialCols).map(col): _*)
         val full = keep.unionByName(goldenFresh.select((Seq("master_id") ++ partialCols).map(col): _*))
-        (assignFinal.withColumn("batch_seq", lit(batchSeq.toLong)),
-          stampGolden(full.withColumn("tombstone", lit(false))))
+        // full assignment, built only on compaction batches (amortized)
+        val assignFull = (prevAssign match {
+          case Some(asg) => asg.join(renamedReps, Seq("cluster_id"), "left")
+            .select(col("record_id"),
+              coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
+            .unionByName(newAssign)
+          case None => newAssign
+        }).withColumn("batch_seq", lit(batchSeq.toLong))
+        (assignFull, stampGolden(full.withColumn("tombstone", lit(false))))
       }
 
     // S7 JSON staging: golden entities whose cluster gained a new record
     // this batch, payload as a single JSON column (spanner_utils.py:723-769).
-    val newClusters = assignNew.select(col("cluster_id")).distinct()
+    val newClusters = newAssign.select(col("cluster_id")).distinct()
     val staging = goldenFresh
       .join(newClusters, Seq("cluster_id"), "left_semi")
       .select(col("master_id"),
@@ -356,7 +363,7 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
         "golden" -> Seq("cid_bucket")))
 
     val out = golden(spark)
-    Seq(newWithSig, newKeys, prunedHistory, newCounts, scored, assignChanged,
+    Seq(newWithSig, newKeys, prunedHistory, newCounts, scored, newAssign,
       assignDelta, oldTouched, goldenFresh)
       .foreach(_.unpersist())
     out
