@@ -97,4 +97,14 @@ object MatchConfig {
     * to batch ("aligned with batch", streaming_processor.py:34-37). */
   val streaming: MatchConfig =
     MatchConfig(wExact = 0.33, wFuzzy = 0.28, wVector = 0.22, wBusiness = 0.17, wAi = 0.0)
+
+  /** Production preset for web-scale corpora (VERDICT r3 next #7): the O5
+    * stop-word-block cap ON — a block key shared by >100k records (empty-text
+    * band, parked-domain template) carries no discriminating evidence, only
+    * ~1e10 comparisons of cost — with the drop OBSERVABLE via
+    * `Pairs.droppedBlockStats` lineage counters in the snapshot manifest.
+    * Oracle/test runs keep the exact default (cap off): dropping is a
+    * recall-vs-cost policy, not a semantics change, so it must be explicit. */
+  val webScale: MatchConfig =
+    MatchConfig(dropBlocksLargerThan = Some(100000))
 }

@@ -90,7 +90,12 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     val prevKeys = if (prevExists) Some(store.readPartAll(spark, stage, "keys")) else None
     val prevKeyCounts =
       if (prevExists) Some(store.readPartAll(spark, stage, "keycounts")) else None
-    val prevAssign = if (prevExists) Some(assignAll(spark)) else None
+    // persisted: consumed by edge mapping (x2), repNodes, renamedMembers and
+    // (on compaction batches) the full re-key — one latest-wins assembly per
+    // batch, not one per consumer
+    val prevAssign =
+      if (prevExists) Some(assignAll(spark).persist(StorageLevel.MEMORY_AND_DISK))
+      else None
     val batchSeq = store.committed().count(_._2 == stage)
 
     // New records only: a record already merged must not flip attributes
@@ -363,8 +368,8 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
         "golden" -> Seq("cid_bucket")))
 
     val out = golden(spark)
-    Seq(newWithSig, newKeys, prunedHistory, newCounts, scored, newAssign,
-      assignDelta, oldTouched, goldenFresh)
+    (Seq(newWithSig, newKeys, prunedHistory, newCounts, scored, newAssign,
+      assignDelta, oldTouched, goldenFresh) ++ prevAssign.toSeq)
       .foreach(_.unpersist())
     out
   }

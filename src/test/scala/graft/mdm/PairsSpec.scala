@@ -65,5 +65,7 @@ class PairsSpec extends SparkSpec {
     assert(on == Map("blocks_dropped" -> 1L, "rows_in_dropped_blocks" -> 100L))
     // cap off -> no counters (exact mode, nothing dropped)
     assert(Pairs.droppedBlockStats(keys, MatchConfig()).isEmpty)
+    // the webScale preset has the cap ON (and a sane ceiling)
+    assert(MatchConfig.webScale.dropBlocksLargerThan.exists(_ >= 1000))
   }
 }
