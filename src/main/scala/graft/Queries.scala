@@ -623,6 +623,84 @@ object Queries {
       .orderBy("qid", "rk")
   }
 
+  def q46_pipeline_e2e_golden(s: SparkSession, dir: String): DataFrame = {
+    // END-TO-END md5-keyed ORACLE TWIN of the flagship pipeline (the one
+    // er_* surface VERDICT r3 still lists as no_oracle): pages ->
+    // Standardize -> blocking (domain + minhash-LSH bands) ->
+    // Pairs.candidates (REAL salted/triangle-split component) ->
+    // Scoring.features + combined/decision (REAL formulas) -> transitive
+    // clustering (REAL large-star/small-star ConnectedComponents) ->
+    // Golden survivorship (REAL aggregate) — every stage replayed by DuckDB
+    // in one statement (recursive-CTE CC, window-function survivorship).
+    //
+    // Twin-ness vs er_pipeline_golden: the ONLY substitutions are
+    // (a) the corpus — deterministic page rows derived from the documents
+    //     parquet (a base crawl + a mirror re-crawl for doc_id%3==0, half
+    //     byte-identical, half with an appended footer) instead of PageGen,
+    // (b) the signature — 4-slot md5 minhash (q17/q35 pattern; slot longs =
+    //     conv(first-15-hex,16,10), so slot equality == hex-prefix equality
+    //     and SigOverlapExpr sees array<long>) instead of 16-slot xxhash64,
+    //     with band keys md5(mh0||mh1)/md5(mh2||mh3) (q18 pattern),
+    // (c) fuzzy_score and combined_score rounded to 4 decimals pre-threshold
+    //     on BOTH engines (q40 FP-parity convention).
+    // Candidate generation, scoring formulas, CC, and Golden are the
+    // PRODUCTION code paths — this query pins the whole chain, decisions
+    // and survivorship included, against an independent engine.
+    GraftFunctions.register(s)
+    import graft.mdm._
+    val cfg = MatchConfig()
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val day0 = to_date(lit("2024-01-01"))
+    def mkUrl(prefix: String, suffix: String): Column =
+      concat(lit(prefix), pmod(col("doc_id"), lit(40)), lit(".com/docs/page-"),
+        col("doc_id"), lit(suffix))
+    val basePages = docs.select(
+      mkUrl("https://www.site", "").as("url"),
+      to_timestamp(date_add(day0, pmod(col("doc_id"), lit(365)).cast("int"))).as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      col("text"), col("lang"))
+    val mirrorPages = docs.where(pmod(col("doc_id"), lit(3)) === 0).select(
+      mkUrl("https://site", "?utm_source=mirror").as("url"),
+      to_timestamp(date_add(day0, (pmod(col("doc_id"), lit(365)) + 3).cast("int"))).as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      when(pmod(col("doc_id"), lit(6)) === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" mirror footer appended"))).as("text"),
+      col("lang"))
+    val clean = Standardize(basePages.unionByName(mirrorPages))
+
+    val exploded = clean.select(col("record_id"), explode(textShingles(col("text"), 3)).as("x"))
+    val slots = (0 until 4).map(i => min(md5(concat(lit(s"$i|"), col("x")))).as(s"mh$i"))
+    val sigged = exploded.groupBy("record_id").agg(slots.head, slots.tail: _*)
+      .withColumn("sig", array((0 until 4).map(i =>
+        conv(substring(col(s"mh$i"), 1, 15), 16, 10).cast("long")): _*))
+      .withColumn("band0", md5(concat(col("mh0"), col("mh1"))))
+      .withColumn("band1", md5(concat(col("mh2"), col("mh3"))))
+    val withSig = clean.join(sigged.select("record_id", "sig"), Seq("record_id"))
+      .select(Scoring.attachColumns.map(col): _*)
+    val keys = clean.select(col("record_id"), concat(lit("d:"), col("domain")).as("block_key"))
+      .unionByName(sigged.select(col("record_id"), concat(lit("b:"), col("band0")).as("block_key")))
+      .unionByName(sigged.select(col("record_id"), concat(lit("b:"), col("band1")).as("block_key")))
+    val attached = Pairs.attach(Pairs.candidates(keys, cfg), withSig)
+    val scored = Scoring.features(attached, cfg)
+      .withColumn("fuzzy_score", round(col("fuzzy_score"), 4))
+      .withColumn("ai_score", lit(0.0))
+      .withColumn("combined_score", round(Scoring.combined(cfg), 4))
+      .withColumn("match_decision", Scoring.decision(cfg))
+      .where(col("combined_score") > cfg.keepThreshold)
+    val edges = scored.where(col("match_decision").isin("auto_merge", "human_review"))
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val assign = ConnectedComponents(edges, clean.select("record_id"), cfg)
+    Golden(assign, clean)
+      .select(col("master_id"), col("canonical_url"), col("master_url"),
+        md5(col("master_text")).as("master_text_md5"), col("master_lang"),
+        length(col("most_complete_text")).cast("long").as("complete_len"),
+        col("source_record_count").as("n_members"),
+        date_format(col("first_seen"), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+        date_format(col("last_activity"), "yyyy-MM-dd HH:mm:ss").as("last_activity"),
+        array_join(col("source_record_ids"), ",").as("lineage_ids"))
+      .orderBy("master_id")
+  }
+
   def q37_standardize_customer(s: SparkSession, dir: String): DataFrame = {
     // P1-P5 reference-literal standardization scalars, oracle-checked over
     // record-shaped data (VERDICT r1 missing #5): messy inputs are DERIVED
@@ -1222,6 +1300,125 @@ object Queries {
         |  JOIN e q ON q.vec_id = p.qid JOIN e n ON n.vec_id = i.nid
         | WHERE p.qid <> i.nid) WHERE rk <= 3
         |ORDER BY qid, rk""".stripMargin,
+    "q46_pipeline_e2e_golden" ->
+      // Full-pipeline replay: pages -> standardize -> domain+LSH blocking ->
+      // candidate pairs -> 4-strategy scoring -> >=0.6 edges -> recursive-CTE
+      // connected components -> window-function survivorship. Conventions:
+      // md5 minhash slots compared on first-15-hex prefixes (== the Spark
+      // side's conv-to-long slots), fuzzy/combined rounded at 4 (q40),
+      // min-label CC (er_cc_fixpoint), recency/completeness argmax via
+      // row_number windows with record_id DESC tie-breaks (Golden max_by
+      // struct ordering).
+      """WITH RECURSIVE
+        |docs AS (SELECT doc_id, text, lang FROM documents),
+        |pages AS (
+        | SELECT 'https://www.site' || (doc_id % 40) || '.com/docs/page-' || doc_id AS url,
+        |  (DATE '2024-01-01' + CAST(doc_id % 365 AS INTEGER))::TIMESTAMP AS warc_ts,
+        |  text, lang FROM docs
+        | UNION ALL
+        | SELECT 'https://site' || (doc_id % 40) || '.com/docs/page-' || doc_id || '?utm_source=mirror',
+        |  (DATE '2024-01-01' + CAST(doc_id % 365 + 3 AS INTEGER))::TIMESTAMP,
+        |  CASE WHEN doc_id % 6 = 0 THEN text ELSE text || ' mirror footer appended' END,
+        |  lang FROM docs WHERE doc_id % 3 = 0),
+        |clean AS (
+        | SELECT substr(sha256(url || '|' || CAST(warc_ts AS VARCHAR)), 1, 36) AS record_id,
+        |  url, warc_ts, text, lang,
+        |  'https://' || domain || path AS url_canon, domain,
+        |  regexp_extract(path, '([^/]+)$', 1) AS slug,
+        |  md5(text) AS text_md5, substr(text, 1, 64) AS head,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        | FROM (
+        |  SELECT url, warc_ts, text, lang,
+        |   regexp_replace(host, '^(www\.|m\.|amp\.)', '') AS domain,
+        |   regexp_replace(regexp_replace(pathq, '[?#].*$', ''), '/+$', '') AS path
+        |  FROM (
+        |   SELECT url, warc_ts, text, lang,
+        |    regexp_extract(nos, '^([^/?#]+)', 1) AS host,
+        |    regexp_replace(nos, '^[^/?#]+', '') AS pathq
+        |   FROM (SELECT url, warc_ts, text, lang,
+        |          regexp_replace(lower(trim(url)), '^https?://', '') AS nos
+        |         FROM pages)))),
+        |sh AS (
+        | SELECT record_id,
+        |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |       ELSE list_transform(range(1, len(toks) - 1),
+        |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+        | FROM (SELECT record_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |       FROM clean)),
+        |sig AS (
+        | SELECT record_id,
+        |  list_transform(range(0, 4),
+        |    i -> list_aggregate(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)), 'min')) AS mh
+        | FROM sh),
+        |keys AS (
+        | SELECT record_id, 'd:' || domain AS bk FROM clean
+        | UNION ALL SELECT record_id, 'b:' || md5(mh[1] || mh[2]) FROM sig
+        | UNION ALL SELECT record_id, 'b:' || md5(mh[3] || mh[4]) FROM sig),
+        |cand AS (
+        | SELECT DISTINCT a.record_id AS id1, b.record_id AS id2
+        | FROM keys a JOIN keys b ON a.bk = b.bk AND a.record_id < b.record_id),
+        |feat AS (
+        | SELECT id1, id2,
+        |  greatest(CASE WHEN ca.url_canon = cb.url_canon THEN 1.0 ELSE 0.0 END,
+        |           CASE WHEN ca.text_md5 = cb.text_md5 THEN 1.0 ELSE 0.0 END) AS exact_score,
+        |  round(greatest(
+        |    jaro_winkler_similarity(ca.slug, cb.slug),
+        |    1.0 - CAST(levenshtein(ca.head, cb.head) AS DOUBLE)
+        |        / CAST(greatest(length(ca.head), length(cb.head)) AS DOUBLE),
+        |    CAST(len(list_intersect(list_distinct(regexp_split_to_array(ca.head, '\s+')),
+        |                            list_distinct(regexp_split_to_array(cb.head, '\s+')))) AS DOUBLE)
+        |      / CAST(greatest(len(list_distinct(regexp_split_to_array(ca.head, '\s+'))),
+        |                      len(list_distinct(regexp_split_to_array(cb.head, '\s+')))) AS DOUBLE)
+        |    ), 4) AS fuzzy_score,
+        |  CAST(len(list_filter(range(1, 5),
+        |    i -> substr(sa.mh[i], 1, 15) = substr(sb.mh[i], 1, 15))) AS DOUBLE) / 4.0 AS vector_score,
+        |  least(1.0,
+        |    CASE WHEN ca.domain = cb.domain THEN 0.3 ELSE 0.0 END +
+        |    CASE WHEN ca.lang = cb.lang THEN 0.2 ELSE 0.0 END +
+        |    CASE WHEN abs(epoch(ca.warc_ts) - epoch(cb.warc_ts)) / 86400.0 <= 7 THEN 0.4
+        |         WHEN abs(epoch(ca.warc_ts) - epoch(cb.warc_ts)) / 86400.0 <= 90 THEN 0.2
+        |         ELSE 0.0 END +
+        |    CASE WHEN CAST(least(ca.n_tokens, cb.n_tokens) AS DOUBLE)
+        |            / CAST(greatest(ca.n_tokens, cb.n_tokens) AS DOUBLE) >= 0.8
+        |         THEN 0.1 ELSE 0.0 END) AS business_score
+        | FROM cand JOIN clean ca ON cand.id1 = ca.record_id
+        |           JOIN clean cb ON cand.id2 = cb.record_id
+        |           JOIN sig sa ON cand.id1 = sa.record_id
+        |           JOIN sig sb ON cand.id2 = sb.record_id),
+        |edges AS (
+        | SELECT id1 AS src, id2 AS dst FROM feat
+        | WHERE round(exact_score * 0.25 + fuzzy_score * 0.35 + vector_score * 0.25 +
+        |             business_score * 0.15 + 0.0 * 0.0, 4) >= 0.6),
+        |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        |reach(a, b) AS (
+        | SELECT record_id, record_id FROM clean
+        | UNION
+        | SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+        |assign AS (SELECT a AS record_id, min(b) AS cluster_id FROM reach GROUP BY a),
+        |g AS (SELECT c.*, a.cluster_id FROM clean c JOIN assign a ON c.record_id = a.record_id),
+        |rec AS (SELECT *,
+        |  row_number() OVER (PARTITION BY cluster_id ORDER BY warc_ts DESC, record_id DESC) AS rn_rec,
+        |  row_number() OVER (PARTITION BY cluster_id ORDER BY length(text) DESC, record_id DESC) AS rn_comp
+        | FROM g),
+        |agg AS (SELECT cluster_id, min(url_canon) AS canonical_url,
+        |  min(warc_ts) AS first_ts, max(warc_ts) AS last_ts,
+        |  count(DISTINCT record_id) AS n_members,
+        |  string_agg(record_id, ',' ORDER BY record_id) AS lineage_ids
+        | FROM g GROUP BY cluster_id),
+        |sel AS (SELECT cluster_id,
+        |  max(CASE WHEN rn_rec = 1 THEN url_canon END) AS master_url,
+        |  max(CASE WHEN rn_rec = 1 THEN md5(text) END) AS master_text_md5,
+        |  max(CASE WHEN rn_rec = 1 THEN lang END) AS master_lang,
+        |  max(CASE WHEN rn_comp = 1 THEN CAST(length(text) AS BIGINT) END) AS complete_len
+        | FROM rec GROUP BY cluster_id)
+        |SELECT substr(sha256('url:' || canonical_url), 1, 36) AS master_id,
+        | canonical_url, master_url, master_text_md5, master_lang, complete_len,
+        | n_members,
+        | strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_seen,
+        | strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_activity,
+        | lineage_ids
+        |FROM agg JOIN sel USING (cluster_id)
+        |ORDER BY master_id""".stripMargin,
     "er_jaro_winkler" ->
       // DuckDB 1.0 ships jaro_winkler_similarity with Winkler's original
       // strcmp95 conventions (floored transpositions, 0.7 boost threshold,
@@ -1581,6 +1778,7 @@ object Queries {
     "q43_golden_merge" -> (q43_golden_merge _),
     "q44_hyperplane_cosine_dedup" -> (q44_hyperplane_cosine_dedup _),
     "q45_ivf_ann_topk" -> (q45_ivf_ann_topk _),
+    "q46_pipeline_e2e_golden" -> (q46_pipeline_e2e_golden _),
     // converted from rows-only to fully oracle-checked in round 2:
     "er_jaro_winkler" -> (er_jaro_winkler _),
     "er_cc_fixpoint" -> (er_cc_fixpoint _),

@@ -98,6 +98,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q46 end-to-end pipeline: equi-joins throughout, md5 sig computed once") {
+    // The e2e oracle twin chains blocking -> Pairs.candidates -> scoring;
+    // its plan must carry the same guarantees as the production pipeline:
+    // no cartesian/nested-loop pair generation, and the shingle+md5 minhash
+    // computed once in the aggregate (q18 lesson) — not re-inlined per
+    // band-key/sig reference.
+    val p = plan(Queries.q46_pipeline_e2e_golden(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q46 degenerated to a cross join:\n$p")
+    val md5Count = "md5\\(".r.findAllIn(p).length
+    // 4 slot md5s (x2 partial+final print) + 2 band md5s + 1 output
+    // master_text_md5 + headroom; the collapsed form from r2 printed dozens
+    assert(md5Count <= 20, s"q46 plan re-inlined the md5 minhash ($md5Count md5 calls):\n$p")
+  }
+
   test("aggregates are partial+final hash aggregates (map-side combine)") {
     val p = plan(Queries.q01_agg_lineitem(spark, dir))
     assert(p.contains("HashAggregate"), p)
