@@ -219,11 +219,20 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
             coalesce(col("rep_dst"), col("dst")).as("dst"))
       case None => newEdges
     }
-    val repNodes = (prevAssign match {
-      case Some(asg) => asg.select(col("cluster_id").as("record_id"))
-        .unionByName(newWithSig.select("record_id"))
-      case None => newWithSig.select("record_id")
-    }).distinct()
+    // CC node set = TOUCHED reps only (round 4): the fixpoint itself is
+    // O(edges), but the singleton left-join inside ConnectedComponents is
+    // O(|nodes|) — feeding it every previous cluster rep made each
+    // micro-batch pay an O(total clusters) shuffle. Every downstream
+    // consumer only reads rows for batch-touched reps: renamedReps drops
+    // self-mapped rows, newAssign left-joins with a self fallback, and
+    // oldTouched's old->new cid rows are all mapped-edge endpoints (a rep
+    // can only rename or absorb members if an edge touches it). Untouched
+    // clusters therefore need no CC row at all — the node set is
+    // O(batch edges + batch records), not O(corpus clusters).
+    val repNodes = mapped.select(col("src").as("record_id"))
+      .unionByName(mapped.select(col("dst").as("record_id")))
+      .unionByName(newWithSig.select("record_id"))
+      .distinct()
     val (repAssign, ccIters) = ConnectedComponents.applyWithStats(mapped, repNodes, cfg)
 
     // --- touched-entity-only deltas (VERDICT r3 missing #3) ---------------
