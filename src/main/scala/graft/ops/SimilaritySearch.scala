@@ -79,22 +79,70 @@ object SimilaritySearch {
       "qid", k)
   }
 
+  /** Deterministic seed centroids: the `nCentroids` corpus vectors smallest
+    * by id-hash order — a uniform reproducible sample (k-means++ would need
+    * sequential dependent sampling; hash order is the distributed analogue). */
+  private def seedCentroids(c: DataFrame, nCentroids: Int): DataFrame =
+    c.withColumn("h", xxhash64(col("nid")))
+      .orderBy("h").limit(nCentroids)
+      .select(col("nid").as("cid"), col("ne").as("ce"))
+
+  /** Distributed Lloyd refinement of the seed centroids (spherical k-means
+    * under cosine). Each round is two shuffle-free-on-the-corpus stages:
+    *  1. assignment — corpus x broadcast(centroids), nearest centroid via
+    *     the `min_by` hash aggregate (one row per vector crosses the
+    *     exchange, no N x k window sort);
+    *  2. update — per-dimension mean via posexplode + partial+final avg,
+    *     reassembled with sort_array(collect_list(struct(pos, m))) (k x dim
+    *     tiny rows). Cosine against an un-normalized mean equals cosine
+    *     against the normalized spherical-k-means centroid, so no explicit
+    *     renormalization stage is needed.
+    * Clusters that lose all members keep their previous centroid (left-join
+    * fallback) — centroid count is invariant. Fully deterministic: seed,
+    * assignment tie-breaks (lowest cid), and means are order-independent.
+    * Runs `iters` rounds; each round materializes only k rows. */
+  def trainIvfCentroids(corpus: DataFrame, embCol: String, idCol: String,
+      nCentroids: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("nid"), col(embCol).as("ne"))
+    var cent = seedCentroids(c, nCentroids)
+    (1 to iters).foreach { _ =>
+      val assigned = c.join(broadcast(cent), lit(true))
+        .withColumn("ccos", cosineSim(col("ne"), col("ce")))
+        .groupBy(col("nid"))
+        .agg(min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cid"),
+          first(col("ne")).as("ne"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("ne")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("ce_new"))
+      cent = cent.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ce_new"), col("ce")).as("ce"))
+    }
+    cent.select(col("cid"), col("ce"))
+  }
+
   /** IVF-style ANN:
-    *  1. coarse centroids = deterministic sample of the corpus (every
-    *     (n/nCentroids)-th row by hash order) — stand-in for k-means, same
-    *     plumbing (a real trainer can swap in);
+    *  1. coarse centroids = deterministic hash-order sample, optionally
+    *     refined by `trainIters` rounds of distributed Lloyd/spherical
+    *     k-means ([[trainIvfCentroids]]; 0 keeps the raw sample — the
+    *     oracle-pinned path, q45);
     *  2. each corpus vector assigned to its nearest centroid (broadcast);
     *  3. queries probe the `nProbe` nearest centroids and search only those
     *     inverted lists (equi-join on centroid id).
     * Returns (qid, rank, nid, cos) top-k per query. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, embCol: String,
-      idCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      idCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nid"), col(embCol).as("ne"))
-    val centroids = c
-      .withColumn("h", xxhash64(col("nid")))
-      .orderBy("h").limit(nCentroids)
-      .select(col("nid").as("cid"), col("ne").as("ce"))
+    val centroids =
+      if (trainIters > 0) trainIvfCentroids(corpus, embCol, idCol, nCentroids, trainIters)
+      else seedCentroids(c, nCentroids)
 
     // invert: nearest centroid per corpus vector. `min_by` over (-ccos, cid)
     // (highest ccos, ties -> lowest cid — id un-negated so string centroid

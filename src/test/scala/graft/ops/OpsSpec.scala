@@ -127,6 +127,40 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("Lloyd-trained IVF centroids: deterministic, count-invariant, exact at full probe") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val t1 = SimilaritySearch.trainIvfCentroids(e, "embedding", "vec_id",
+      nCentroids = 8, iters = 3)
+    // count invariance (empty clusters keep the previous centroid)
+    assert(t1.count() == 8)
+    // determinism: identical centroids on a re-run (hash seed, lowest-cid
+    // assignment tie-break, order-independent means)
+    val t2 = SimilaritySearch.trainIvfCentroids(e, "embedding", "vec_id",
+      nCentroids = 8, iters = 3)
+    assert(t1.orderBy("cid").collect().toSeq == t2.orderBy("cid").collect().toSeq)
+    // training actually moves centroids off the raw hash sample
+    val seedOnly = SimilaritySearch.trainIvfCentroids(e, "embedding", "vec_id",
+      nCentroids = 8, iters = 0)
+    assert(t1.join(seedOnly.toDF("cid", "ce0"), Seq("cid"))
+      .where(col("ce").cast("array<double>") =!= col("ce0").cast("array<double>"))
+      .count() > 0, "3 Lloyd rounds left every centroid exactly at its seed")
+    // trained quantizer still PARTITIONS the corpus: probing all centroids
+    // must reproduce brute force exactly, like the untrained path
+    val q = e.where(col("vec_id") < 5)
+    val bf = SimilaritySearch.bruteForceTopK(q, e, "embedding", "vec_id", 3)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    val full = SimilaritySearch.ivfTopK(q, e, "embedding", "vec_id", 3,
+      nCentroids = 8, nProbe = 8, trainIters = 3)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    assert(full == bf)
+    // and at the real ANN setting trained centroids keep useful recall
+    val ann = SimilaritySearch.ivfTopK(q, e, "embedding", "vec_id", 3,
+      nCentroids = 8, nProbe = 3, trainIters = 3)
+      .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+    val recall = bf.map(x => (x._1, x._3)).intersect(ann.map(x => (x._1, x._3))).size / 15.0
+    assert(recall >= 0.5, s"trained-IVF recall too low: $recall")
+  }
+
   test("langId picks the right language on real-ish sentences") {
     val samples = Seq(
       ("en", "the cat is sitting on the mat and the dog is watching it"),
