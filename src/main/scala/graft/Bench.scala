@@ -234,17 +234,29 @@ object Bench {
       var spark = session(cpus)
       def runSuite(): (Seq[(String, Double)], scala.collection.mutable.LinkedHashMap[String, String]) = {
         val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-        val res = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-          catch { case e: Throwable =>
-            errs(name) = (e.getClass.getSimpleName + ": " +
-              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
-                .replaceAll("[\"\\\\]", "'")
+        val res = scala.collection.mutable.ListBuffer[(String, Double)]()
+        // Mid-suite deadline guard: on a collapsed host (5-30x inflation,
+        // BASELINE.md) the suite alone can eat the whole run budget — and
+        // part 2's scaling efficiency is the north-rule metric, so it must
+        // never be starved by part 1. Once the remaining budget drops below
+        // the scaling protocol's reserve, the suite tail is SKIPPED and
+        // named in gated_out (skipped != failed: n_failed stays honest).
+        var skippedFrom: Option[String] = None
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          if (skippedFrom.isEmpty && remainingSec < 600) skippedFrom = Some(name)
+          if (skippedFrom.isEmpty) {
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+            catch { case e: Throwable =>
+              errs(name) = (e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
+                  .replaceAll("[\"\\\\]", "'")
+            }
+            res += (name -> (System.nanoTime() - t0) / 1e9)
           }
-          name -> (System.nanoTime() - t0) / 1e9
         }
-        (res, errs)
+        skippedFrom.foreach(n => gatedOut ::= s"suite_from_$n")
+        (res.toList, errs)
       }
       var (results, errors) = runSuite()
       suiteRuns = 1
