@@ -1866,11 +1866,15 @@ object Queries {
     graft.ops.Dedup.cosinePairs(t(s, dir, "embeddings"), "embedding", "vec_id",
       threshold = 0.4).orderBy("id1", "id2")
 
-  /** IVF-style ANN top-k for the first 10 query vectors. */
+  /** IVF-style ANN top-k for the first 10 query vectors — production path:
+    * Lloyd-trained coarse quantizer (2 spherical-k-means rounds over the
+    * hash-order seed; trainer pinned in OpsSpec). The md5-keyed oracle twin
+    * q45 replays the UNtrained mechanism (sample -> invert -> multi-probe ->
+    * top-k) — training only moves the centroids, not the algebra. */
   def er_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     graft.ops.SimilaritySearch.ivfTopK(e.where(col("vec_id") < 10), e,
-      "embedding", "vec_id", k = 3).orderBy("qid", "rank")
+      "embedding", "vec_id", k = 3, trainIters = 2).orderBy("qid", "rank")
   }
 
   /** Heuristic language id + quality + token counting over documents. */
