@@ -16,6 +16,31 @@ class GoldenSpec extends SparkSpec {
     "master_lang", "most_complete_text", "first_seen", "last_activity",
     "source_record_count", "source_record_ids", "source_domains", "cluster_id")
 
+  test("mergePartials telescopes to the batch golden over any disjoint member split") {
+    // The streaming path's golden deltas rest on this algebra: folding
+    // per-batch partials (disjoint member sets of the same clusters) must
+    // reproduce the one-shot batch aggregate EXACTLY — survivorship argmaxes,
+    // counts, lineage arrays, master ids. Split a corpus into 3 hash-chosen
+    // partials (cluster members scatter across partials — the hard case) and
+    // compare against the direct aggregate.
+    val clean = Standardize(PageGen.pages(spark, 40)).cache()
+    val assign = clean.groupBy(col("domain"))
+      .agg(min(col("record_id")).as("cluster_id"))
+      .join(clean.select(col("record_id"), col("domain")), Seq("domain"))
+      .select("record_id", "cluster_id").cache()
+    val partials = (0 until 3).map { i =>
+      Golden.partialWithState(assign,
+        clean.where(pmod(xxhash64(col("record_id")), lit(3)) === i))
+    }
+    val merged = Golden.mergePartials(partials.reduce(_ unionByName _))
+    val direct = Golden.partialWithState(assign, clean)
+    val mCols = merged.columns.sorted
+    val m = merged.select(mCols.map(col): _*).orderBy("cluster_id").collect().toSeq
+    val d = direct.select(mCols.map(col): _*).orderBy("cluster_id").collect().toSeq
+    assert(m == d, s"merged partials diverge from the batch golden:\n${m.diff(d).take(3)}")
+    clean.unpersist(); assign.unpersist()
+  }
+
   test("S5 bulk MERGE upsert: matched keys update most-recent-wins, unmatched insert") {
     val existing = Seq(
       g("m1", "https://a", "old text", "2023-01-01 00:00:00", "2023-06-01 00:00:00", Seq("r1", "r2")),
