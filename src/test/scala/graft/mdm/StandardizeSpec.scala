@@ -42,6 +42,28 @@ class StandardizeSpec extends SparkSpec {
     assert(c.select("slug").distinct().head().getString(0) == "7-a-b")
   }
 
+  test("url edge cases pinned: ports kept in domain, fragments stripped, bare hosts") {
+    // Common-Crawl urls carry ports, fragments, and pathless hosts; pin the
+    // canonicalization DECISIONS so drift is loud: a port is part of the
+    // domain identity (different origin), fragments never reach the canon,
+    // a bare host canonicalizes without a trailing slash with an empty slug.
+    val pages = Seq(
+      ("HTTP://WWW.Example.COM:8443/A/B/?q=1#frag", "t1"),
+      ("https://example.com", "t2"),
+      ("https://example.com/#top", "t3"))
+      .toDF("url", "text")
+      .withColumn("warc_ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .withColumn("html", lit(Array[Byte]()))
+      .withColumn("lang", lit("en"))
+    val c = Standardize(pages.select("url", "warc_ts", "html", "text", "lang"))
+      .select("text", "url_canon", "domain", "slug")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    assert(c("t1") == (("https://example.com:8443/a/b", "example.com:8443", "b")))
+    assert(c("t2") == (("https://example.com", "example.com", "")))
+    assert(c("t3") == (("https://example.com", "example.com", "")))
+  }
+
   test("null gate drops rows without url or text (P6)") {
     val pages = Seq(
       (Some("https://a.com/x"), Some("body")),
