@@ -275,7 +275,12 @@ object Bench {
         val (r2, e2) = runSuite()
         suiteRuns = 2
         suiteTotals = suiteTotals :+ r2.map(_._2).sum
-        if (r2.map(_._2).sum < results.map(_._2).sum) { results = r2; errors = e2 }
+        // Same-size guard: the deadline check can cut the RERUN's tail, and
+        // a partial suite always has a smaller total — comparing totals is
+        // only meaningful over the same query set.
+        if (r2.size == results.size && r2.map(_._2).sum < results.map(_._2).sum) {
+          results = r2; errors = e2
+        }
       }
       val total = results.map(_._2).sum
       suiteTotal = total; nQueries = results.size; nFailed = errors.size
