@@ -100,12 +100,20 @@ object SimilaritySearch {
     * Clusters that lose all members keep their previous centroid (left-join
     * fallback) — centroid count is invariant. Fully deterministic: seed,
     * assignment tie-breaks (lowest cid), and means are order-independent.
-    * Runs `iters` rounds; each round materializes only k rows. */
+    * Runs `iters` rounds; each round MATERIALIZES its k centroid rows
+    * (`localCheckpoint`, ADVICE r4: the unmaterialized plan referenced the
+    * previous round's centroids twice — once via the broadcast assignment
+    * branch, once as the left side of the empty-cluster fallback join — so
+    * lineage doubled per round, an O(2^iters) recomputation cliff of the
+    * corpus-wide assignment; truncating lineage to the k concrete rows also
+    * makes the next round's broadcast trivially cheap). */
   def trainIvfCentroids(corpus: DataFrame, embCol: String, idCol: String,
       nCentroids: Int, iters: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = corpus.select(col(idCol).as("nid"), col(embCol).as("ne"))
-    var cent = seedCentroids(c, nCentroids)
+    // seed is referenced twice in round 1 (assignment + fallback join) —
+    // materialize it too, or the corpus-wide hash-order sort runs twice
+    var cent = seedCentroids(c, nCentroids).localCheckpoint()
     (1 to iters).foreach { _ =>
       val assigned = c.join(broadcast(cent), lit(true))
         .withColumn("ccos", cosineSim(col("ne"), col("ce")))
@@ -122,6 +130,7 @@ object SimilaritySearch {
           x => x.getField("m")).as("ce_new"))
       cent = cent.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("ce_new"), col("ce")).as("ce"))
+        .localCheckpoint()
     }
     cent.select(col("cid"), col("ce"))
   }

@@ -15,6 +15,21 @@ class PlanQualitySpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Count Md5 EXPRESSION INSTANCES in the physical plan tree (ADVICE r4:
+    * counting literal "md5(" occurrences in the plan STRING was hostage to
+    * print-format changes — casing, aliasing, partial-aggregate reprints —
+    * across Spark versions; the expression tree is the stable anchor). Each
+    * plan node's expressions are walked recursively, so a re-inlined md5
+    * pipeline (the q18 r2 regression: CollapseProject copying the whole
+    * shingle+md5 chain into every band-key reference) still multiplies the
+    * count, while a pure printing change cannot move it. */
+  private def md5ExprCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect { case node =>
+      node.expressions.map(_.collect {
+        case m: org.apache.spark.sql.catalyst.expressions.Md5 => m
+      }.size).sum
+    }.sum
+
   test("filters and column pruning reach the parquet scan (q02)") {
     val p = plan(Queries.q02_filter_pushdown(spark, dir))
     assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
@@ -91,10 +106,11 @@ class PlanQualitySpec extends SparkSpec {
     // into every reference — its plan string carried dozens of md5 calls.
     // The explode -> agg-min form computes each slot md5 exactly once; the
     // plan must stay bounded: 4 slot-md5s (x2 for partial+final agg
-    // printing) + 2 band md5s per side.
-    val p = plan(Queries.q18_lsh_band_pairs(spark, dir))
-    val md5Count = "md5\\(".r.findAllIn(p).length
-    assert(md5Count <= 16, s"q18 plan re-inlined the md5 pipeline ($md5Count md5 calls):\n$p")
+    // nodes) + 2 band md5s per side.
+    val df = Queries.q18_lsh_band_pairs(spark, dir)
+    val p = plan(df)
+    val md5Count = md5ExprCount(df)
+    assert(md5Count <= 16, s"q18 plan re-inlined the md5 pipeline ($md5Count Md5 exprs):\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -104,13 +120,14 @@ class PlanQualitySpec extends SparkSpec {
     // no cartesian/nested-loop pair generation, and the shingle+md5 minhash
     // computed once in the aggregate (q18 lesson) — not re-inlined per
     // band-key/sig reference.
-    val p = plan(Queries.q46_pipeline_e2e_golden(spark, dir))
+    val df = Queries.q46_pipeline_e2e_golden(spark, dir)
+    val p = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"q46 degenerated to a cross join:\n$p")
-    val md5Count = "md5\\(".r.findAllIn(p).length
-    // 4 slot md5s (x2 partial+final print) + 2 band md5s + 1 output
-    // master_text_md5 + headroom; the collapsed form from r2 printed dozens
-    assert(md5Count <= 20, s"q46 plan re-inlined the md5 minhash ($md5Count md5 calls):\n$p")
+    val md5Count = md5ExprCount(df)
+    // 4 slot md5s (x2 partial+final nodes) + 2 band md5s + 1 output
+    // master_text_md5 + headroom; the collapsed form from r2 carried dozens
+    assert(md5Count <= 20, s"q46 plan re-inlined the md5 minhash ($md5Count Md5 exprs):\n$p")
   }
 
   test("aggregates are partial+final hash aggregates (map-side combine)") {
