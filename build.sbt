@@ -29,4 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] on a 128 GiB box: an 8g heap makes 32-thread runs GC-bound
   // (measured ~20% wall overhead on the pair-scoring bench); 32g default.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Catalyst recursion (TreeNode transforms / generateTreeString) is
+  // stack-hungry on deep multi-snapshot union + iterative plans; the JDK
+  // default 1 MiB thread stack can overflow while merely PRINTING such a
+  // plan. Same remedy as spark-submit's --driver-java-options -Xss4m.
+  "-Xss16m",
 )

@@ -19,6 +19,17 @@ import graft.mdm._
   *     BASELINE.md §scaling for the saturation measurements (the box's own
   *     32-thread memcpy only scales 0.6x/4x) and the full per-level table,
   *     which Bench also emits (16- and 32-core rows included).
+  *
+  * Suite trust model (VERDICT r4 next #1 — the last gap in the bench saga):
+  * every per-query wall time in target/bench_full.json is BRACKETED by
+  * alloc-path host stamps, so each reading is individually provably healthy
+  * or named-quarantined. A stamp below [[AllocHealthyGbps]] on either side
+  * marks the query SICK; after the suite, the sick queries alone are re-run
+  * in a fresh gated session (r4's single post-suite spot probe missed a
+  * degradation window that opened and closed inside the suite tail — q46
+  * recorded 16x its healthy cost with suite_runs=1). The kept reading per
+  * query, the retry readings, and any residual quarantine are all emitted,
+  * so a reader can always tell a slow query from a slow host.
   */
 object Bench {
 
@@ -27,6 +38,27 @@ object Bench {
     * and every wall time is garbage (VERDICT r2 what's-wrong #1: r2's bench
     * JSON was recorded in such a window and is inadmissible). */
   private val AllocHealthyGbps = 2.0
+
+  /** Part-1 budget reserve (sec): the suite (and its sick-query rerun) must
+    * leave at least this much for part 2 — the scaling protocol is the
+    * north-rule metric and must never be starved by query timings (ADVICE r4:
+    * this was a magic 600 duplicated at two sites, and a rerun launched into
+    * a just-above-600 window only to skip at its first query, recording a
+    * 0.0 suite total). */
+  private val ScalingReserveSec = 600.0
+
+  /** A sick-query rerun only launches if, beyond [[ScalingReserveSec]], at
+    * least this window remains — a rerun that would deadline-skip its first
+    * query is pure noise (ADVICE r4). */
+  private val MinRerunWindowSec = 180.0
+
+  /** Reserve below which the scaling protocol itself is gated out (the final
+    * JSON still carries part 1). */
+  private val ScalingStartReserveSec = 300.0
+
+  /** Reserve below which the informational 16/32-core levels are skipped —
+    * they must never eat the protocol pair's retry budget. */
+  private val InfoLevelReserveSec = 240.0
 
   /** Global run deadline (VERDICT r3 next #1b): r3's bench burned the whole
     * driver budget inside unbounded probe gates and emitted NOTHING
@@ -77,7 +109,7 @@ object Bench {
     val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
       .defaultModuleOptions().trim.split("\\s+").toSeq
     val cmd = Seq(javaBin) ++ moduleOpts ++ Seq(
-      "-Xmx24g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-Xmx24g", "-Xss16m", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchLevel", cores.toString, parts.toString, input)
     val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
@@ -175,6 +207,37 @@ object Bench {
     (best, alloc)
   }
 
+  /** Alloc-path-only probe on a 32 MB buffer — the per-query health stamp
+    * (VERDICT r4 next #1). Page zeroing throughput is size-flat above a few
+    * MB, so this reads the same signal as [[hostProbe]]'s alloc number at
+    * ~1/4 the cost: ~10 ms healthy, so stamping all 58 queries adds <2 s to
+    * the suite; ~0.5 s when collapsed (0.07 GB/s observed), still bounded. */
+  private def allocProbe(): Double = {
+    val n = 32 << 20
+    val t0 = System.nanoTime()
+    val a = new Array[Byte](n)
+    var i = 0
+    while (i < n) { a(i) = 1; i += 4096 }
+    n.toDouble / (System.nanoTime() - t0) * 1e9 / (1L << 30)
+  }
+
+  /** One stamp = best of two probes when the first reads sick: a single GC
+    * pause inside the 32 MB allocation must not quarantine a healthy query
+    * (the degradation being detected lasts minutes, not milliseconds). */
+  private def allocStamp(): Double = {
+    val a = allocProbe()
+    if (a >= AllocHealthyGbps) a else math.max(a, allocProbe())
+  }
+
+  /** One suite reading of one query: wall seconds bracketed by the alloc
+    * stamps taken immediately before and after it. Sick = either bracket
+    * below the health floor — the degradation window may open or close
+    * mid-query, so both sides must be clean for the reading to be trusted. */
+  private final case class QRun(sec: Double, allocBefore: Double,
+      allocAfter: Double, err: Option[String]) {
+    def sick: Boolean = allocBefore < AllocHealthyGbps || allocAfter < AllocHealthyGbps
+  }
+
   // --- emission state (VERDICT r3 next #1) -------------------------------
   // The driver records only a ~2,000-char stdout TAIL. r1-r3 printed one
   // >3,000-char JSON line (55 per-query timings inline) at the very END of
@@ -189,6 +252,9 @@ object Bench {
   @volatile private var suiteTotals: Seq[Double] = Nil
   @volatile private var nQueries: Int = 0
   @volatile private var nFailed: Int = 0
+  @volatile private var nSick: Int = 0
+  @volatile private var nQuarantined: Int = 0
+  @volatile private var rerunState: String = "none"
   @volatile private var sfDirV: String = ""
   @volatile private var hostJson: String = """"host_probe":{}"""
   @volatile private var scalingJson: String = "null"
@@ -199,7 +265,7 @@ object Bench {
   private def finalLine(): String = {
     val gated = gatedOut.reverse.map(s => "\"" + s + "\"").mkString("[", ",", "]")
     val err = if (runError.isEmpty) "" else s""","error":"$runError""""
-    f"""{"metric":"total","value":$suiteTotal%.3f,"unit":"sec","n_queries":$nQueries,"n_failed":$nFailed,"suite_runs":$suiteRuns,"suite_totals":${suiteTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"sf":"$sfDirV","full_json":"$FullJsonPath",$hostJson,"scaling":$scalingJson,"gated_out":$gated$err}"""
+    f"""{"metric":"total","value":$suiteTotal%.3f,"unit":"sec","n_queries":$nQueries,"n_failed":$nFailed,"suite_runs":$suiteRuns,"suite_totals":${suiteTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"sick":$nSick,"quarantined":$nQuarantined,"rerun":"$rerunState","sf":"$sfDirV","full_json":"$FullJsonPath",$hostJson,"scaling":$scalingJson,"gated_out":$gated$err}"""
   }
 
   private def emitFinal(): Unit =
@@ -229,75 +295,117 @@ object Bench {
       // --- part 1: contract queries -------------------------------------
       // Failures are RECORDED, never masked (VERDICT r1: a broken query must
       // not look like a fast query). Gated on a healthy host (VERDICT r2
-      // next #1) — wall times from a degraded window are garbage.
+      // next #1) — wall times from a degraded window are garbage — and each
+      // query is stamp-bracketed (VERDICT r4 next #1) so a degradation
+      // window opening MID-suite quarantines exactly the queries it touched.
       val (copyStart, allocStart, _) = probeGate("suite-start")
       var spark = session(cpus)
-      def runSuite(): (Seq[(String, Double)], scala.collection.mutable.LinkedHashMap[String, String]) = {
-        val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-        val res = scala.collection.mutable.ListBuffer[(String, Double)]()
-        // Mid-suite deadline guard: on a collapsed host (5-30x inflation,
-        // BASELINE.md) the suite alone can eat the whole run budget — and
-        // part 2's scaling efficiency is the north-rule metric, so it must
-        // never be starved by part 1. Once the remaining budget drops below
-        // the scaling protocol's reserve, the suite tail is SKIPPED and
-        // named in gated_out (skipped != failed: n_failed stays honest).
+      // Runs `names` in order, each reading bracketed by alloc stamps (the
+      // stamp after query i doubles as the stamp before query i+1 — one
+      // probe per boundary, outside every timed window). The mid-suite
+      // deadline guard skips the TAIL once the part-2 reserve is hit:
+      // skipped != failed, n_failed stays honest, and the skip point lands
+      // in gated_out via the returned marker.
+      def runSuite(sess: SparkSession, names: Seq[String], startAlloc: Double)
+          : (scala.collection.mutable.LinkedHashMap[String, QRun], Option[String]) = {
+        val out = scala.collection.mutable.LinkedHashMap[String, QRun]()
+        var prevStamp = startAlloc
         var skippedFrom: Option[String] = None
-        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-          if (skippedFrom.isEmpty && remainingSec < 600) skippedFrom = Some(name)
+        names.foreach { name =>
+          if (skippedFrom.isEmpty && remainingSec < ScalingReserveSec) skippedFrom = Some(name)
           if (skippedFrom.isEmpty) {
             val t0 = System.nanoTime()
-            try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-            catch { case e: Throwable =>
-              errs(name) = (e.getClass.getSimpleName + ": " +
-                Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
-                  .replaceAll("[\"\\\\]", "'")
-            }
-            res += (name -> (System.nanoTime() - t0) / 1e9)
+            val err =
+              try { SparkEntry.queries(name)(sess, sfDir).write.mode("overwrite").format("noop").save(); None }
+              catch { case e: Throwable =>
+                Some((e.getClass.getSimpleName + ": " +
+                  Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
+                    .replaceAll("[\"\\\\]", "'"))
+              }
+            val sec = (System.nanoTime() - t0) / 1e9
+            val after = allocStamp()
+            out(name) = QRun(sec, prevStamp, after, err)
+            prevStamp = after
           }
         }
-        skippedFrom.foreach(n => gatedOut ::= s"suite_from_$n")
-        (res.toList, errs)
+        (out, skippedFrom)
       }
-      var (results, errors) = runSuite()
+      val allNames = SparkEntry.queries.keys.toSeq.sorted
+      val (run1, skipped1) = runSuite(spark, allNames, allocStart)
+      skipped1.foreach(n => gatedOut ::= s"suite_from_$n")
       suiteRuns = 1
-      suiteTotals = Seq(results.map(_._2).sum)
-      // The start gate cannot protect against a collapse that begins
-      // MID-suite (observed: full alloc-path collapse within minutes of a
-      // healthy probe). If the post-suite probe is sick, re-gate and re-run
-      // the whole suite once in a FRESH session (ADVICE r3: a warm-session
+      suiteTotals = Seq(run1.valuesIterator.map(_.sec).sum)
+      // Selective sick-query rerun (VERDICT r4 next #1: the r4 artifact's
+      // tail was 16x-contaminated and the single post-suite spot probe
+      // missed the window — suite_runs stayed 1). Only the sick-stamped
+      // queries re-run, in a FRESH gated session (ADVICE r3: a warm-session
       // rerun is systematically advantaged — cached codegen, warm page
-      // cache — so 'keep faster' would conflate host recovery with warm-up).
-      // Both totals are recorded in the JSON so the kept run is auditable.
-      if (hostProbe()._2 < AllocHealthyGbps && remainingSec > 600) {
-        probeGate("suite-retry")
-        spark.stop()
-        spark = session(cpus)
-        val (r2, e2) = runSuite()
-        suiteRuns = 2
-        suiteTotals = suiteTotals :+ r2.map(_._2).sum
-        // Same-size guard: the deadline check can cut the RERUN's tail, and
-        // a partial suite always has a smaller total — comparing totals is
-        // only meaningful over the same query set.
-        if (r2.size == results.size && r2.map(_._2).sum < results.map(_._2).sum) {
-          results = r2; errors = e2
-        }
+      // cache — so comparing against it would conflate recovery with
+      // warm-up), and only when a useful window remains beyond the part-2
+      // reserve (ADVICE r4: a rerun that deadline-skips its first query
+      // records only noise).
+      val sickNames = run1.collect { case (n, q) if q.sick => n }.toSeq
+      nSick = sickNames.size
+      val retries = scala.collection.mutable.LinkedHashMap[String, QRun]()
+      if (sickNames.nonEmpty) {
+        rerunState =
+          if (remainingSec <= ScalingReserveSec + MinRerunWindowSec) "no_window"
+          else {
+            val (_, allocRetry, _) = probeGate("suite-retry")
+            // the gate itself consumes budget — re-check before launching
+            if (remainingSec <= ScalingReserveSec + MinRerunWindowSec / 2) "gated_out"
+            else {
+              spark.stop()
+              spark = session(cpus)
+              val (run2, skipped2) = runSuite(spark, sickNames, allocRetry)
+              retries ++= run2
+              suiteRuns = 2
+              if (skipped2.nonEmpty || run2.size < sickNames.size) "truncated" else "complete"
+            }
+          }
       }
-      val total = results.map(_._2).sum
-      suiteTotal = total; nQueries = results.size; nFailed = errors.size
+      // Kept reading per query: the retry when it exists AND is itself
+      // healthy; otherwise the first reading, quarantined if sick. A
+      // still-sick retry keeps the FIRST reading (suite totals stay
+      // comparable across runs) and the query stays quarantined — the
+      // bench_full entry shows both readings either way.
+      case class Kept(sec: Double, src: String, err: Option[String], sick: Boolean)
+      val kept = run1.map { case (n, q1) =>
+        n -> (retries.get(n) match {
+          case Some(q2) if !q2.sick => Kept(q2.sec, "retry", q2.err, sick = false)
+          case _ => Kept(q1.sec, "first", q1.err, q1.sick)
+        })
+      }
+      val quarantined = kept.collect { case (n, k) if k.sick => n }.toSeq
+      nQuarantined = quarantined.size
+      val total = kept.valuesIterator.map(_.sec).sum
+      if (suiteRuns == 2) suiteTotals = suiteTotals :+ total
+      suiteTotal = total
+      nQueries = kept.size
+      nFailed = kept.valuesIterator.count(_.err.isDefined)
 
-      // Full per-query map + errors -> FILE (referenced from the compact
-      // stdout lines; never inlined — it is what overflowed the tail r1-r3).
-      val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-        .mkString("{", ",", "}")
-      val errJson = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+      // Full per-query map (both readings + stamps + kept/quarantine
+      // verdicts) + errors -> FILE (referenced from the compact stdout
+      // lines; never inlined — it is what overflowed the tail r1-r3).
+      val qs = run1.map { case (n, q1) =>
+        val retryJson = retries.get(n).map(q2 =>
+          f""","retry_sec":${q2.sec}%.3f,"retry_alloc_before":${q2.allocBefore}%.2f,"retry_alloc_after":${q2.allocAfter}%.2f""")
+          .getOrElse("")
+        val k = kept(n)
+        "\"" + n + "\":" +
+          f"""{"sec":${q1.sec}%.3f,"alloc_before":${q1.allocBefore}%.2f,"alloc_after":${q1.allocAfter}%.2f$retryJson,"kept":"${k.src}","quarantined":${k.sick}}"""
+      }.mkString("{", ",", "}")
+      val errJson = kept.collect { case (n, k) if k.err.isDefined =>
+        s""""$n":"${k.err.get}"""" }.mkString("{", ",", "}")
+      val quarJson = quarantined.map(n => "\"" + n + "\"").mkString("[", ",", "]")
       val hostStart = f""""host_probe":{"copy_gbps_start":$copyStart%.2f,"alloc_gbps_start":$allocStart%.2f}"""
       new java.io.File("target").mkdirs()
       java.nio.file.Files.write(java.nio.file.Paths.get(FullJsonPath),
-        s"""{"queries":$qs,"errors":$errJson,"suite_totals":${suiteTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"sf":"$sfDir",$hostStart}"""
+        s"""{"queries":$qs,"errors":$errJson,"suite_totals":${suiteTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"rerun":"$rerunState","quarantined":$quarJson,"sf":"$sfDir",$hostStart}"""
           .getBytes("UTF-8"))
       // Suite-only line NOW (VERDICT r3 next #1c): a later timeout in the
       // scaling protocol must not lose the query timings from the tail.
-      println(f"""{"phase":"suite","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"suite_runs":$suiteRuns,"suite_totals":${suiteTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"sf":"$sfDir","full_json":"$FullJsonPath"}""")
+      println(f"""{"phase":"suite","value":$total%.3f,"unit":"sec","n_queries":$nQueries,"n_failed":$nFailed,"suite_runs":$suiteRuns,"suite_totals":${suiteTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"sick":$nSick,"quarantined":$nQuarantined,"rerun":"$rerunState","sf":"$sfDir","full_json":"$FullJsonPath"}""")
       Console.flush()
 
       // --- part 2: scaling protocol -------------------------------------
@@ -312,7 +420,7 @@ object Bench {
       val levelsEnv = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8")
       val Array(nLo, nHi) = levelsEnv.split(",").map(_.trim.toInt)
       require(nHi == 4 * nLo, s"scale levels must be N,4N — got $levelsEnv")
-      if (remainingSec < 300) {
+      if (remainingSec < ScalingStartReserveSec) {
         gatedOut ::= "scaling_protocol"
         spark.stop()
       } else {
@@ -340,7 +448,8 @@ object Bench {
           ((pHi / sHi) / (pLo / sLo)) / 4.0
         }
         var extraRounds = 0
-        while ((effOf() < 0.82 || effOf() > 1.05) && extraRounds < 3 && remainingSec > 300) {
+        while ((effOf() < 0.82 || effOf() > 1.05) && extraRounds < 3 &&
+            remainingSec > ScalingStartReserveSec) {
           Seq(nLo, nHi).foreach { c =>
             val again = runLevel(c, fixedParts, inputPath)
             val (pb, sb, _) = levelRes(c)
@@ -352,7 +461,8 @@ object Bench {
         // between the pair's measurement rounds); skipped on a tight
         // deadline or SPARK_GRAFT_SCALE_INFO=0 (the pair alone decides).
         Seq(16, 32).filterNot(Seq(nLo, nHi).contains).foreach { c =>
-          if (sys.env.getOrElse("SPARK_GRAFT_SCALE_INFO", "1") == "0" || remainingSec < 240)
+          if (sys.env.getOrElse("SPARK_GRAFT_SCALE_INFO", "1") == "0" ||
+              remainingSec < InfoLevelReserveSec)
             gatedOut ::= s"info_level_$c"
           else levelRes(c) = runLevel(c, fixedParts, inputPath)
         }

@@ -110,7 +110,14 @@ object SimilaritySearch {
   def trainIvfCentroids(corpus: DataFrame, embCol: String, idCol: String,
       nCentroids: Int, iters: Int): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // The trainer scans the corpus once per round (seed sort + `iters`
+    // assignment passes): persist the projected (id, embedding) frame for
+    // the training loop — the canonical iterative-k-means trade (MLlib
+    // KMeans persists its training set the same way). Training is EAGER
+    // (every round ends in localCheckpoint), so the cache is released
+    // before return; the caller's invert pass re-reads the source once.
     val c = corpus.select(col(idCol).as("nid"), col(embCol).as("ne"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // seed is referenced twice in round 1 (assignment + fallback join) —
     // materialize it too, or the corpus-wide hash-order sort runs twice
     var cent = seedCentroids(c, nCentroids).localCheckpoint()
@@ -132,6 +139,7 @@ object SimilaritySearch {
         .select(col("cid"), coalesce(col("ce_new"), col("ce")).as("ce"))
         .localCheckpoint()
     }
+    c.unpersist()
     cent.select(col("cid"), col("ce"))
   }
 

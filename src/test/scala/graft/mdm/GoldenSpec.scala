@@ -41,6 +41,34 @@ class GoldenSpec extends SparkSpec {
     clean.unpersist(); assign.unpersist()
   }
 
+  test("mergePartials lineage-cap associativity holds at a TINY cap (VERDICT r4 #7)") {
+    // The cap argument of the telescoping claim, at a cap small enough that
+    // clusters actually truncate: each partial keeps its smallest <=cap ids,
+    // and the global smallest cap ids are each inside their own partial's
+    // smallest cap — so slice(sort(union)) == batch bottom-k even when every
+    // array is clipped. The default-cap test never exercises the clip path.
+    val cap = 3
+    val clean = Standardize(PageGen.pages(spark, 40)).cache()
+    val assign = clean.groupBy(col("domain"))
+      .agg(min(col("record_id")).as("cluster_id"))
+      .join(clean.select(col("record_id"), col("domain")), Seq("domain"))
+      .select("record_id", "cluster_id").cache()
+    val partials = (0 until 3).map { i =>
+      Golden.partialWithState(assign,
+        clean.where(pmod(xxhash64(col("record_id")), lit(3)) === i), lineageCap = cap)
+    }
+    val merged = Golden.mergePartials(partials.reduce(_ unionByName _), lineageCap = cap)
+    val direct = Golden.partialWithState(assign, clean, lineageCap = cap)
+    // at least one cluster must actually hit the cap or the test is vacuous
+    assert(direct.where(size(col("source_record_ids")) === cap &&
+      col("source_record_count") > cap).count() > 0)
+    val mCols = merged.columns.sorted
+    val m = merged.select(mCols.map(col): _*).orderBy("cluster_id").collect().toSeq
+    val d = direct.select(mCols.map(col): _*).orderBy("cluster_id").collect().toSeq
+    assert(m == d, s"tiny-cap merge diverges from the batch golden:\n${m.diff(d).take(3)}")
+    clean.unpersist(); assign.unpersist()
+  }
+
   test("S5 bulk MERGE upsert: matched keys update most-recent-wins, unmatched insert") {
     val existing = Seq(
       g("m1", "https://a", "old text", "2023-01-01 00:00:00", "2023-06-01 00:00:00", Seq("r1", "r2")),

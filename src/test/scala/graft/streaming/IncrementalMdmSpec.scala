@@ -184,6 +184,22 @@ class IncrementalMdmSpec extends SparkSpec {
       s"expected partition pruning on key_bucket:\n$plan")
     assert(read.count() == (0 until 80).count(_ % 4 == 3))
     assert(read.columns.toSet == Set("record_id", "block_key", "key_bucket"))
+
+    // two-level (assign) layout: a filter on EITHER bucket column lands in
+    // PartitionFilters — the edge-endpoint lookup prunes on rec_bucket, the
+    // renamed-members read on cluster_bucket, over the same written part
+    def asgDf(ids: Range) = ids.map(i => (s"r$i", s"c${i % 5}", i % 4, i % 3))
+      .toDF("record_id", "cluster_id", "cluster_bucket", "rec_bucket")
+    store.commitMany(Seq("assign" -> asgDf(0 until 60)), "s",
+      partitionByPart = Map("assign" -> Seq("cluster_bucket", "rec_bucket")))
+    Seq("cluster_bucket" -> 2L, "rec_bucket" -> 1L).foreach { case (c, v) =>
+      val r = store.readPartAll(spark, "s", "assign").where(col(c) === v)
+      val plan = r.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains(c),
+        s"expected partition pruning on $c:\n$plan")
+    }
+    assert(store.readPartAll(spark, "s", "assign")
+      .where(col("rec_bucket") === 1).count() == (0 until 60).count(_ % 3 == 1))
   }
 
   test("F11 streaming weight preset keeps reference proportions and thresholds") {
@@ -271,6 +287,40 @@ class IncrementalMdmSpec extends SparkSpec {
     b1.unpersist(); b2.unpersist(); pages.unpersist()
   }
 
+  test("per-batch assign-log READ stays O(batch-touched), not O(corpus) (VERDICT r4 #2)") {
+    // Mirror of the history-scan pin and the delta-WRITE pin: a small tail
+    // batch after a bulk batch must READ assign rows proportional to what it
+    // touches (edge-endpoint records + renamed clusters' members), not
+    // re-assemble the full latest-wins assignment. The counter sums the two
+    // pruned reads' row counts AFTER rec_bucket/cluster_bucket directory
+    // pruning + exact semi-join — i.e. exactly the rows the lookups consume.
+    val pages = PageGen.pages(spark, 60).cache()
+    val ordered = pages.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("warc_ts"), col("url"))))
+    val n = ordered.count()
+    val b1 = ordered.where(col("rn") <= n - 5).drop("rn").cache()
+    val b2 = ordered.where(col("rn") > n - 5).drop("rn").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-aread").toString
+    val store = new SnapshotStore(dir)
+    val inc = new IncrementalMdm(store)
+    inc.processBatch(b1)
+    inc.processBatch(b2)
+    def counter(m: String, k: String): Long =
+      (s""""$k":(\\d+)""").r.findFirstMatchIn(m).get.group(1).toLong
+    val m2 = store.manifests("state")(1)._2
+    val scanned = counter(m2, "assign_rows_scanned")
+    val logRows = store.readPartAll(spark, "state", "assign").count()
+    val corpus = store.readPartAll(spark, "state", "clean").count()
+    // 5 new records touch at most 5 clusters' worth of endpoints + members;
+    // the batch-1 log alone holds ~(corpus-5) rows, so any full latest-wins
+    // assembly would read ≈ the whole log. Strictly below both.
+    assert(scanned < corpus / 2,
+      s"assign read scanned $scanned rows vs $corpus records — not O(touched)")
+    assert(scanned < logRows,
+      s"assign read scanned $scanned of $logRows log rows — full-log assembly")
+    b1.unpersist(); b2.unpersist(); pages.unpersist()
+  }
+
   test("compaction every k batches is stamped, bounds the log read, and preserves golden state") {
     val pages = PageGen.pages(spark, 40).cache()
     val withBatch = pages.withColumn("b", ntile(3).over(
@@ -289,6 +339,36 @@ class IncrementalMdmSpec extends SparkSpec {
     // a post-compaction batch still converges (readers start at the compaction)
     inc.processBatch(withBatch.where(col("b") === 3).drop("b")) // replay: no-op delta
     assert(goldenKey(inc.golden(spark)) == batchGolden)
+    pages.unpersist()
+  }
+
+  test("N > 2x compaction cadence: repeated compactions keep pruning the log and converge (VERDICT r4 #7)") {
+    // 6 batches at compactEvery=2 drive MULTIPLE compaction points; readers
+    // must anchor at the LATEST one (lastCompaction picks the last stamped
+    // manifest, not the first) and state must still equal the batch run.
+    val pages = PageGen.pages(spark, 48).cache()
+    val nB = 6
+    val withBatch = pages.withColumn("b", ntile(nB).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("warc_ts"), col("url"))))
+    val batchGolden = goldenKey(Pipeline.run(pages).golden)
+    val dir = java.nio.file.Files.createTempDirectory("graft-multicompact").toString
+    val store = new SnapshotStore(dir)
+    val inc = new IncrementalMdm(store, compactEvery = 2)
+    (1 to nB).foreach { b => inc.processBatch(withBatch.where(col("b") === b).drop("b")) }
+    // cadence: batchSeq 2 and 4 compact (seq 0 is exempt: prevExists=false)
+    val stamps = store.manifests("state").map(_._2.contains("\"compacted\":1"))
+    assert(stamps == Seq(false, false, true, false, true, false), s"stamps=$stamps")
+    assert(goldenKey(inc.golden(spark)) == batchGolden)
+    // the full-state read is bounded by the LAST compaction: the compacted
+    // snapshot plus later deltas hold every current record exactly once in
+    // their latest-wins view, and strictly fewer raw rows than the whole log
+    val sinceLast = store.manifests("state")
+      .filter(_._2.contains("\"compacted\":1")).last._1
+    val pruned = store.readPartAll(spark, "state", "assign", sinceLast)
+    val whole = store.readPartAll(spark, "state", "assign")
+    assert(pruned.count() < whole.count())
+    assert(pruned.select("record_id").distinct().count() ==
+      store.readPartAll(spark, "state", "clean").count())
     pages.unpersist()
   }
 
