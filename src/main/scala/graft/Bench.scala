@@ -232,11 +232,28 @@ object Bench {
   /** One suite reading of one query: wall seconds bracketed by the alloc
     * stamps taken immediately before and after it. Sick = either bracket
     * below the health floor — the degradation window may open or close
-    * mid-query, so both sides must be clean for the reading to be trusted. */
-  private final case class QRun(sec: Double, allocBefore: Double,
+    * mid-query, so both sides must be clean for the reading to be trusted.
+    * package-visible (with [[keptReading]]) so BenchSpec pins the quarantine
+    * rules without a host. */
+  private[graft] final case class QRun(sec: Double, allocBefore: Double,
       allocAfter: Double, err: Option[String]) {
     def sick: Boolean = allocBefore < AllocHealthyGbps || allocAfter < AllocHealthyGbps
   }
+
+  /** The reading the suite total and error set are built from. */
+  private[graft] final case class Kept(sec: Double, src: String,
+      err: Option[String], sick: Boolean)
+
+  /** Kept reading per query: the retry when it exists AND is itself healthy;
+    * otherwise the first reading, quarantined if sick. A still-sick retry
+    * keeps the FIRST reading (suite totals stay comparable across runs) and
+    * the query stays quarantined — bench_full.json shows both readings
+    * either way. */
+  private[graft] def keptReading(q1: QRun, retry: Option[QRun]): Kept =
+    retry match {
+      case Some(q2) if !q2.sick => Kept(q2.sec, "retry", q2.err, sick = false)
+      case _ => Kept(q1.sec, "first", q1.err, q1.sick)
+    }
 
   // --- emission state (VERDICT r3 next #1) -------------------------------
   // The driver records only a ~2,000-char stdout TAIL. r1-r3 printed one
@@ -364,18 +381,7 @@ object Bench {
             }
           }
       }
-      // Kept reading per query: the retry when it exists AND is itself
-      // healthy; otherwise the first reading, quarantined if sick. A
-      // still-sick retry keeps the FIRST reading (suite totals stay
-      // comparable across runs) and the query stays quarantined — the
-      // bench_full entry shows both readings either way.
-      case class Kept(sec: Double, src: String, err: Option[String], sick: Boolean)
-      val kept = run1.map { case (n, q1) =>
-        n -> (retries.get(n) match {
-          case Some(q2) if !q2.sick => Kept(q2.sec, "retry", q2.err, sick = false)
-          case _ => Kept(q1.sec, "first", q1.err, q1.sick)
-        })
-      }
+      val kept = run1.map { case (n, q1) => n -> keptReading(q1, retries.get(n)) }
       val quarantined = kept.collect { case (n, k) if k.sick => n }.toSeq
       nQuarantined = quarantined.size
       val total = kept.valuesIterator.map(_.sec).sum

@@ -109,15 +109,25 @@ object SimilaritySearch {
     * makes the next round's broadcast trivially cheap). */
   def trainIvfCentroids(corpus: DataFrame, embCol: String, idCol: String,
       nCentroids: Int, iters: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
     // The trainer scans the corpus once per round (seed sort + `iters`
     // assignment passes): persist the projected (id, embedding) frame for
     // the training loop — the canonical iterative-k-means trade (MLlib
     // KMeans persists its training set the same way). Training is EAGER
     // (every round ends in localCheckpoint), so the cache is released
     // before return; the caller's invert pass re-reads the source once.
+    // (ivfTopK shares ONE persisted projection across train + invert
+    // instead, via trainOnProjected.)
     val c = corpus.select(col(idCol).as("nid"), col(embCol).as("ne"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cent = trainOnProjected(c, nCentroids, iters)
+    c.unpersist()
+    cent
+  }
+
+  /** Lloyd loop over an already-projected (nid, ne) frame — the caller owns
+    * its persistence lifecycle. */
+  private def trainOnProjected(c: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(c.sparkSession)
     // seed is referenced twice in round 1 (assignment + fallback join) —
     // materialize it too, or the corpus-wide hash-order sort runs twice
     var cent = seedCentroids(c, nCentroids).localCheckpoint()
@@ -139,7 +149,6 @@ object SimilaritySearch {
         .select(col("cid"), coalesce(col("ce_new"), col("ce")).as("ce"))
         .localCheckpoint()
     }
-    c.unpersist()
     cent.select(col("cid"), col("ce"))
   }
 
@@ -156,9 +165,17 @@ object SimilaritySearch {
       idCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       trainIters: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val c = corpus.select(col(idCol).as("nid"), col(embCol).as("ne"))
+    // One persisted projection shared by the training rounds AND the invert
+    // pass below (VERDICT r4 next #6: train+invert re-scanned the source
+    // iters+2 times). Trained centroids are localCheckpointed k-row leaves,
+    // so this cache's only consumer after training is the invert scan.
+    val shared = trainIters > 0
+    val c0 = corpus.select(col(idCol).as("nid"), col(embCol).as("ne"))
+    val c = if (shared)
+      c0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else c0
     val centroids =
-      if (trainIters > 0) trainIvfCentroids(corpus, embCol, idCol, nCentroids, trainIters)
+      if (trainIters > 0) trainOnProjected(c, nCentroids, trainIters)
       else seedCentroids(c, nCentroids)
 
     // invert: nearest centroid per corpus vector. `min_by` over (-ccos, cid)
@@ -168,13 +185,22 @@ object SimilaritySearch {
     // shuffle-sort of the N x nCentroids assignment rows (VERDICT r1: the
     // window form sorts 1.6e10 rows at 1e9 vectors; the agg moves one row
     // per vector).
-    val inverted = c.join(broadcast(centroids), lit(true))
+    val inverted0 = c.join(broadcast(centroids), lit(true))
       .withColumn("ccos", cosineSim(col("ne"), col("ce")))
       .groupBy(col("nid"))
       .agg(
         min_by(col("cid"), struct(-col("ccos"), col("cid"))).as("cid"),
         first(col("ne")).as("ne")) // all rows of a group carry the same ne
       .select(col("cid"), col("nid"), col("ne"))
+    // Trained path: the inverted lists ARE the IVF index — materialize them
+    // (production would write them out) so the shared projection cache can
+    // be released here instead of leaking into the session; the RDD behind
+    // the checkpoint is freed by the ContextCleaner once unreferenced.
+    val inverted = if (shared) {
+      val inv = inverted0.localCheckpoint()
+      c.unpersist()
+      inv
+    } else inverted0
 
     // probe lists per query: nProbe nearest centroids via the heap aggregate
     // (same ordering as the window form: ccos desc, ties -> lowest cid;

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench suite's trust rules (VERDICT r4 next #1) without a host:
+  * a reading is SICK when either bracketing alloc stamp is below the 2.0
+  * GB/s floor, and the kept reading per query is the healthy retry when one
+  * exists, else the first reading (quarantined if sick). These rules decide
+  * which wall times enter BENCH_r{N}.json — four rounds of bench-evidence
+  * bugs say they deserve a pin. No SparkSession needed.
+  */
+class BenchSpec extends AnyFunSuite {
+  private def q(sec: Double, before: Double, after: Double,
+      err: Option[String] = None) = Bench.QRun(sec, before, after, err)
+
+  test("a reading is sick if EITHER bracketing stamp is below the floor") {
+    assert(!q(1.0, 2.5, 2.5).sick)
+    assert(q(1.0, 1.9, 2.5).sick, "window closing mid-query must taint it")
+    assert(q(1.0, 2.5, 1.9).sick, "window opening mid-query must taint it")
+    assert(q(1.0, 0.1, 0.1).sick)
+  }
+
+  test("healthy first reading is kept as-is, never quarantined") {
+    val k = Bench.keptReading(q(3.0, 2.5, 2.6), retry = None)
+    assert(k == Bench.Kept(3.0, "first", None, sick = false))
+  }
+
+  test("sick first reading with no retry window stays, but quarantined") {
+    val k = Bench.keptReading(q(30.0, 0.5, 2.5), retry = None)
+    assert(k.sec == 30.0 && k.src == "first" && k.sick,
+      "a contaminated reading without a retry must be NAMED, not laundered")
+  }
+
+  test("healthy retry replaces a sick first reading and lifts quarantine") {
+    val k = Bench.keptReading(q(30.0, 0.5, 2.5), Some(q(3.0, 2.5, 2.6)))
+    assert(k == Bench.Kept(3.0, "retry", None, sick = false))
+  }
+
+  test("still-sick retry keeps the FIRST reading and the quarantine") {
+    // keeping the first reading keeps suite totals comparable across runs;
+    // the full JSON carries both readings either way
+    val k = Bench.keptReading(q(30.0, 0.5, 2.5), Some(q(40.0, 1.0, 2.5)))
+    assert(k.sec == 30.0 && k.src == "first" && k.sick)
+  }
+
+  test("retry's error status travels with the retry reading") {
+    val k = Bench.keptReading(
+      q(3.0, 2.5, 2.5, Some("AnalysisException: x")),
+      Some(q(2.0, 2.5, 2.5, None)))
+    assert(k.err.isEmpty, "a query fixed by the fresh session is not failed")
+    val k2 = Bench.keptReading(
+      q(3.0, 0.5, 2.5, None),
+      Some(q(2.0, 2.5, 2.5, Some("OOM"))))
+    assert(k2.err.contains("OOM"))
+  }
+}
