@@ -43,6 +43,22 @@ class BenchSpec extends AnyFunSuite {
     assert(k.sec == 30.0 && k.src == "first" && k.sick)
   }
 
+  test("two healthy readings keep the FASTER one (heavy-redundancy rule)") {
+    // The alloc stamp sees only the memory path; a CPU-side degradation can
+    // inflate a reading under healthy stamps (observed r5: q14 92.8s inside
+    // the suite, 15-17s in isolation). Contamination only ever inflates, so
+    // with two stamp-healthy readings min is the better estimator.
+    val slowFirst = Bench.keptReading(q(92.8, 6.2, 4.2), Some(q(15.5, 5.0, 5.1)))
+    assert(slowFirst == Bench.Kept(15.5, "retry", None, sick = false))
+    val slowRetry = Bench.keptReading(q(15.5, 6.2, 4.2), Some(q(92.8, 5.0, 5.1)))
+    assert(slowRetry == Bench.Kept(15.5, "first", None, sick = false))
+  }
+
+  test("healthy first reading is never displaced by a sick retry") {
+    val k = Bench.keptReading(q(15.5, 6.2, 4.2), Some(q(3.0, 1.0, 5.1)))
+    assert(k == Bench.Kept(15.5, "first", None, sick = false))
+  }
+
   test("retry's error status travels with the retry reading") {
     val k = Bench.keptReading(
       q(3.0, 2.5, 2.5, Some("AnalysisException: x")),
