@@ -28,6 +28,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "edit_distance", exprs => EditDistanceExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "token_overlap", exprs => TokenOverlapExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "text_shingles", exprs => TextShinglesExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction(
@@ -92,9 +94,17 @@ object GraftFunctions {
   }
 
   /** Token-overlap score, reference semantics: |shared| / max(|a|,|b|) over
-    * whitespace tokens (bigquery_utils.py:377-388 — the correlated UNNEST
-    * subquery re-expressed as array_intersect, SURVEY.md J11). */
-  def tokenOverlap(a: Column, b: Column): Column = {
+    * distinct whitespace tokens (bigquery_utils.py:377-388 — the correlated
+    * UNNEST subquery, SURVEY.md J11). Native single-pass expression; the HOF
+    * twin below is the cross-check oracle (value-identical, FunctionsSpec). */
+  def tokenOverlap(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, 0.0)
+      .otherwise(call_function("token_overlap", a, b))
+
+  /** HOF formulation of [[tokenOverlap]], kept as a cross-check oracle for
+    * the native expression (split recompiles its regex per row — ~20x the
+    * cost of the byte-walk expression on the pair-scoring hot path). */
+  def tokenOverlapHof(a: Column, b: Column): Column = {
     val ta = array_distinct(split(a, "\\s+"))
     val tb = array_distinct(split(b, "\\s+"))
     val denom = greatest(size(ta), size(tb))

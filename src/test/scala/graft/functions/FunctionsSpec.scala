@@ -62,6 +62,37 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2) == 1.0)
   }
 
+  test("native tokenOverlap equals the HOF oracle on split edge cases + fuzz") {
+    // Java-split edge cases: leading/trailing whitespace runs contribute an
+    // empty-string token that array_distinct keeps and array_intersect can
+    // match; all-whitespace and empty inputs degrade to just that token.
+    val edge = Seq(
+      ("  leading", "leading"),
+      ("trailing  ", "trailing"),
+      ("  both  ", "both"),
+      ("", ""),
+      ("", "a"),
+      ("   ", "x y"),
+      ("   ", "  "),
+      ("a\tb\nc", "a b c"),
+      ("dup dup dup x", "dup y"),
+      ("café naïve 中文", "中文 café"),
+      ("a", "a a a"),
+      ("one", "two"))
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab \t\nxyé"
+    val fuzz = (1 to 300).map { _ =>
+      def s() = (0 until rnd.nextInt(16)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      (s(), s())
+    }
+    val pairs = edge ++ fuzz
+    val native = evalPairs(pairs, tokenOverlap)
+    val hof = evalPairs(pairs, tokenOverlapHof)
+    pairs.zip(native.zip(hof)).foreach { case ((a, b), (n, h)) =>
+      assert(n == h, s"native $n != hof $h for (${a.replace("\n", "\\n")}, ${b.replace("\n", "\\n")})")
+    }
+  }
+
   // --- Cosine over arrays --------------------------------------------------
   test("cosineSim on known vectors") {
     val df = spark.createDataFrame(Seq(
