@@ -54,13 +54,11 @@ object EditDistance {
     * inputs take a zero-allocation byte path (UTF-8 bytes == chars there);
     * anything else decodes to String first. */
   def distance(a: UTF8String, b: UTF8String): Int = {
-    val na = a.numBytes()
-    val nb = b.numBytes()
-    if (na <= 64 && nb <= 64 && isAscii(a) && isAscii(b)) distanceAscii(a, b)
+    if (isAscii(a) && isAscii(b)) distanceAscii(a, b)
     else distance(a.toString, b.toString)
   }
 
-  private def isAscii(s: UTF8String): Boolean = {
+  private[functions] def isAscii(s: UTF8String): Boolean = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val n = s.numBytes()
@@ -73,17 +71,38 @@ object EditDistance {
   }
 
   /** Myers directly over the UTF8String's ASCII bytes — zero-copy,
-    * zero-allocation per call (getBytes would copy parquet-backed strings). */
-  private def distanceAscii(a: UTF8String, b: UTF8String): Int = {
-    val (s, t) = if (a.numBytes() <= b.numBytes()) (a, b) else (b, a)
-    val m = s.numBytes()
-    val n = t.numBytes()
-    if (m == 0) return n
-    val sBase = s.getBaseObject
-    val sOff = s.getBaseOffset
-    val tBase = t.getBaseObject
-    val tOff = t.getBaseOffset
+    * zero-allocation per call (getBytes would copy parquet-backed strings).
+    * Trims the common prefix and suffix first: lev(p·x·q, p·y·q) = lev(x, y)
+    * (matched end characters never pay an edit — standard, also done by
+    * DuckDB/commons-lang), which matters on templated corpora where pairs
+    * share long literal prefixes ("Customer#0000...") — the bit-vector loop
+    * then runs only over the differing core. */
+  private def distanceAscii(a0: UTF8String, b0: UTF8String): Int = {
     import org.apache.spark.unsafe.Platform.getByte
+    val aBase = a0.getBaseObject
+    val aOff = a0.getBaseOffset
+    val bBase = b0.getBaseObject
+    val bOff = b0.getBaseOffset
+    val na = a0.numBytes()
+    val nb = b0.numBytes()
+    val minLen = math.min(na, nb)
+    var p = 0
+    while (p < minLen && getByte(aBase, aOff + p) == getByte(bBase, bOff + p)) p += 1
+    var q = 0
+    val maxSuffix = minLen - p // keep prefix/suffix regions disjoint
+    while (q < maxSuffix &&
+      getByte(aBase, aOff + na - 1 - q) == getByte(bBase, bOff + nb - 1 - q)) q += 1
+    val ma = na - p - q
+    val mb = nb - p - q
+    if (ma == 0) return mb
+    if (mb == 0) return ma
+    // pattern = shorter trimmed slice (bit-vector over its positions);
+    // a trimmed core wider than one machine word goes to the two-row DP
+    if (math.min(ma, mb) > 64)
+      return dpDistance(a0.toString.substring(p, na - q), b0.toString.substring(p, nb - q))
+    val (sBase, sOff, m, tBase, tOff, n) =
+      if (ma <= mb) (aBase, aOff + p, ma, bBase, bOff + p, mb)
+      else (bBase, bOff + p, mb, aBase, aOff + p, ma)
 
     val peq = asciiPeq.get()
     val touch = touched.get()

@@ -30,13 +30,11 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler"
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    JaroWinkler.similarity(
-      l.asInstanceOf[UTF8String].toString,
-      r.asInstanceOf[UTF8String].toString)
+    JaroWinkler.similarity(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.JaroWinkler.similarity($a.toString(), $b.toString())")
+      s"graft.functions.JaroWinkler.similarity($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -44,6 +42,83 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
 }
 
 object JaroWinkler {
+
+  // Reusable per-thread match-flag scratch (the String path allocated two
+  // boolean arrays per call — measurable on the 10^6-pair scoring path).
+  private val flags1 = new ThreadLocal[Array[Boolean]] {
+    override def initialValue(): Array[Boolean] = new Array[Boolean](256)
+  }
+  private val flags2 = new ThreadLocal[Array[Boolean]] {
+    override def initialValue(): Array[Boolean] = new Array[Boolean](256)
+  }
+  private def scratch(tl: ThreadLocal[Array[Boolean]], n: Int): Array[Boolean] = {
+    var a = tl.get()
+    if (a.length < n) { a = new Array[Boolean](Integer.highestOneBit(n) << 1); tl.set(a) }
+    java.util.Arrays.fill(a, 0, n, false)
+    a
+  }
+
+  /** Dispatch: ASCII inputs take the zero-copy, zero-allocation byte path
+    * (UTF-8 bytes == chars there); anything else decodes to String. Same
+    * pattern as [[EditDistance.distance]]. */
+  def similarity(a: UTF8String, b: UTF8String): Double =
+    if (EditDistance.isAscii(a) && EditDistance.isAscii(b)) similarityAscii(a, b)
+    else similarity(a.toString, b.toString)
+
+  private def similarityAscii(s1: UTF8String, s2: UTF8String): Double = {
+    val jaro = jaroSimAscii(s1, s2)
+    if (jaro <= 0.7) jaro
+    else {
+      var l = 0
+      val maxPrefix = math.min(4, math.min(s1.numBytes(), s2.numBytes()))
+      while (l < maxPrefix && s1.getByte(l) == s2.getByte(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  /** Byte-for-byte the same algorithm as [[jaroSim]], over UTF8String ASCII
+    * bytes with thread-local match flags. */
+  private def jaroSimAscii(s1: UTF8String, s2: UTF8String): Double = {
+    val n1 = s1.numBytes()
+    val n2 = s2.numBytes()
+    if (n1 == 0 && n2 == 0) return 1.0
+    if (n1 == 0 || n2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val matchWindow = math.max(0, math.max(n1, n2) / 2 - 1)
+    val m1 = scratch(flags1, n1)
+    val m2 = scratch(flags2, n2)
+    var matches = 0
+    var i = 0
+    while (i < n1) {
+      val lo = math.max(0, i - matchWindow)
+      val hi = math.min(n2 - 1, i + matchWindow)
+      val c = s1.getByte(i)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && c == s2.getByte(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < n1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.getByte(i) != s2.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / n1 + m / n2 + (m - (t / 2)) / m) / 3.0
+  }
+
   /** Jaro-Winkler similarity in [0,1]. Static so generated code can call it. */
   def similarity(s1: String, s2: String): Double = {
     val jaro = jaroSim(s1, s2)

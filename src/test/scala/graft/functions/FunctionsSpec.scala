@@ -254,6 +254,49 @@ class FunctionsSpec extends SparkSpec {
     assert(sim >= 0.0, s"levenshteinSim went negative: $sim")
   }
 
+  test("edit_distance prefix/suffix trim is value-identical (trim edge cases + fuzz)") {
+    import graft.functions.GraftFunctions.editDistance
+    // cases chosen so the trim regions collide, nest, or consume a side whole
+    val cases = Seq(
+      ("aa", "a"), ("a", "aa"), ("abca", "aca"), ("aca", "abca"),
+      ("abc", "abcabc"), ("abcabc", "abc"), // one side entirely prefix+suffix
+      ("xxay", "xxby"), ("prefix-mid-suffix", "prefix-MID-suffix"),
+      ("aaaa", "aaaa"), ("abab", "baba"),
+      ("Customer#000000001", "Customer#000000100"), // the q14/q40 shape
+      ("a" * 80 + "X" * 70 + "b" * 80, "a" * 80 + "Y" * 70 + "b" * 80), // ASCII >64 core -> DP
+      ("a" * 80 + "XY" + "b" * 80, "a" * 80 + "YX" + "b" * 80)) // long ASCII, tiny core -> Myers
+    val df = spark.createDataFrame(cases).toDF("a", "b")
+    val bad = df.where(editDistance(col("a"), col("b")) =!= levenshtein(col("a"), col("b"))).count()
+    assert(bad == 0L)
+    // seeded fuzz over a tiny alphabet (maximizes accidental shared ends)
+    val rnd = new scala.util.Random(11)
+    val fuzz = (1 to 400).map { _ =>
+      def s() = (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      (s(), s())
+    }
+    val fdf = spark.createDataFrame(fuzz).toDF("a", "b")
+    val fbad = fdf.where(editDistance(col("a"), col("b")) =!= levenshtein(col("a"), col("b"))).count()
+    assert(fbad == 0L)
+  }
+
+  test("jaro_winkler byte path equals the String path (incl. non-ASCII dispatch)") {
+    val rnd = new scala.util.Random(13)
+    val fuzz = (1 to 400).map { _ =>
+      val shared = rnd.alphanumeric.take(rnd.nextInt(10)).mkString
+      def s() = shared + rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      (s(), s())
+    } ++ Seq(("", ""), ("", "abc"), ("résumé", "resume"), ("über", "uber"),
+      ("MARTHA", "MARHTA"), ("a" * 300, "a" * 299 + "b")) // scratch growth past 256
+    val df = spark.createDataFrame(fuzz).toDF("a", "b")
+    // the Catalyst expression runs the UTF8String dispatch; compare to the
+    // String implementation evaluated driver-side
+    val got = df.select(col("a"), col("b"), jaroWinkler(col("a"), col("b")).as("v")).collect()
+    got.foreach { r =>
+      val want = JaroWinkler.similarity(r.getString(0), r.getString(1))
+      assert(r.getDouble(2) == want, s"(${r.getString(0)}, ${r.getString(1)})")
+    }
+  }
+
   // --- Jaro-Winkler conventions (oracle parity) ------------------------------
   test("JW follows Winkler's strcmp95 conventions: floored transpositions, 0.7 boost gate") {
     import graft.functions.JaroWinkler.similarity
