@@ -77,7 +77,10 @@ object JaroWinkler {
   }
 
   /** Byte-for-byte the same algorithm as [[jaroSim]], over UTF8String ASCII
-    * bytes with thread-local match flags. */
+    * bytes with thread-local match flags. (A Long-bitmask variant for ≤64-byte
+    * inputs was measured 1.5× SLOWER than the boolean arrays — the running
+    * m2 mask makes every inner-loop iteration data-depend on the previous
+    * one, while array flag loads stay independent — so flags stay arrays.) */
   private def jaroSimAscii(s1: UTF8String, s2: UTF8String): Double = {
     val n1 = s1.numBytes()
     val n2 = s2.numBytes()

@@ -286,7 +286,9 @@ class FunctionsSpec extends SparkSpec {
       def s() = shared + rnd.alphanumeric.take(rnd.nextInt(12)).mkString
       (s(), s())
     } ++ Seq(("", ""), ("", "abc"), ("résumé", "resume"), ("über", "uber"),
-      ("MARTHA", "MARHTA"), ("a" * 300, "a" * 299 + "b")) // scratch growth past 256
+      ("MARTHA", "MARHTA"), ("a" * 300, "a" * 299 + "b"), // scratch growth past 256
+      // the Long-bitmask/array frontier: both-64 (bits), 64/65 and 65/65 (arrays)
+      ("xy" * 32, "yx" * 32), ("xy" * 32, "z" + "xy" * 32), ("z" + "xy" * 32, "w" + "yx" * 32))
     val df = spark.createDataFrame(fuzz).toDF("a", "b")
     // the Catalyst expression runs the UTF8String dispatch; compare to the
     // String implementation evaluated driver-side
