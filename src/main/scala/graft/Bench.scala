@@ -22,11 +22,13 @@ import graft.mdm._
   *
   * Suite trust model (VERDICT r4 next #1 — the last gap in the bench saga):
   * every per-query wall time in target/bench_full.json is BRACKETED by
-  * alloc-path host stamps, so each reading is individually provably healthy
-  * or named-quarantined. A stamp below [[AllocHealthyGbps]] on either side
-  * marks the query SICK; after the suite, the sick queries — plus the
-  * expensive ([[HeavyRetrySec]]) ones, whose readings a stamp-invisible
-  * CPU-side degradation can still inflate — re-run in a fresh gated session
+  * host stamps on BOTH degradation paths — alloc/page-fault
+  * ([[AllocHealthyGbps]]) and fixed-work CPU ([[CpuHealthyGops]]) — so each
+  * reading is individually provably healthy or named-quarantined. Any stamp
+  * below its floor on either side marks the query SICK; after the suite,
+  * the sick queries — plus the expensive ([[HeavyRetrySec]]) ones, whose
+  * readings a degradation window closing before the stamp can still
+  * inflate — re-run in a fresh gated session
   * (r4's single post-suite spot probe missed a degradation window that
   * opened and closed inside the suite tail — q46 recorded 16x its healthy
   * cost with suite_runs=1). The kept reading per query, the retry readings,
@@ -40,6 +42,17 @@ object Bench {
     * and every wall time is garbage (VERDICT r2 what's-wrong #1: r2's bench
     * JSON was recorded in such a window and is inadmissible). */
   private val AllocHealthyGbps = 2.0
+
+  /** Health floor for the fixed-work CPU probe (Gops/s of a serial xorshift
+    * loop). The alloc stamp sees only the MEMORY path; the contamination
+    * mode observed in r5 (q14 at 92.8s inside a suite whose alloc stamps
+    * read a healthy 6.2/4.2, then 15-17s in isolation minutes later) is
+    * CPU-side scheduler steal, invisible to it. A fixed-work single-thread
+    * ALU loop reads that path directly: descheduling inflates its wall time
+    * proportionally. Calibrated on this box: 0.52-0.53 Gops/s healthy across
+    * runs (0.48 on a cold first call), so 0.25 = ~2x steal — well inside the
+    * 6x observed — without false-positives from JIT warm-up or GC blips. */
+  private val CpuHealthyGops = 0.25
 
   /** Part-1 budget reserve (sec): the suite (and its sick-query rerun) must
     * leave at least this much for part 2 — the scaling protocol is the
@@ -55,12 +68,13 @@ object Bench {
   private val MinRerunWindowSec = 180.0
 
   /** Readings at or above this also re-run in the fresh retry session even
-    * when their alloc stamps are healthy. The alloc stamp sees the memory
-    * path only: a CPU-side degradation (scheduler steal) is invisible to it
-    * — observed r5: q14 measured 92.8s inside the suite with healthy 6.2/4.2
-    * stamps, then 15-17s in isolation minutes later on the same code. The
-    * only defense against a contamination mode no probe sees is REDUNDANCY,
-    * and it is only worth paying for the queries whose inflation materially
+    * when their stamps are healthy. The r5 q14 incident (92.8s inside the
+    * suite with healthy 6.2/4.2 alloc stamps, 15-17s in isolation minutes
+    * later) motivated BOTH defenses now in place: the [[CpuHealthyGops]]
+    * stamp reads the scheduler-steal path the alloc probe missed, and this
+    * redundancy tier covers whatever residual mode opens and closes BETWEEN
+    * the bracketing stamps (a mid-query blip both brackets miss). Redundancy
+    * is only worth paying for the queries whose inflation materially
     * distorts the suite total; when both readings are stamp-healthy the
     * FASTER one is kept (contamination only ever inflates, and at >=10s the
     * fresh-session JIT/page-cache warm-up asymmetry is amortized away). */
@@ -85,36 +99,39 @@ object Bench {
     * sites x 20 min each with no shared cap). Decremented by every sleep. */
   private var gateBudgetMs: Long = 0L
 
-  /** Block until the host's alloc path is healthy, the shared gate budget is
-    * exhausted, or the global deadline is near — never hang the driver.
-    * Returns the LAST probe (copy, alloc) and the number of attempts used. */
-  private def probeGate(label: String, sleepMs: Long = 30000): (Double, Double, Int) = {
-    var tries = 0
-    var last = hostProbe()
-    tries += 1
-    while (last._2 < AllocHealthyGbps && gateBudgetMs > 0 && remainingSec > 120) {
+  /** Block until the host's alloc AND cpu paths are healthy, the shared gate
+    * budget is exhausted, or the global deadline is near — never hang the
+    * driver. Returns the LAST probe (copy GB/s, alloc GB/s, cpu Gops/s). */
+  private def probeGate(label: String, sleepMs: Long = 30000): (Double, Double, Double) = {
+    def take(): (Double, Double, Double) = {
+      val (copy, alloc) = hostProbe()
+      (copy, alloc, cpuStamp())
+    }
+    var last = take()
+    def degraded: Boolean = last._2 < AllocHealthyGbps || last._3 < CpuHealthyGops
+    while (degraded && gateBudgetMs > 0 && remainingSec > 120) {
       System.err.println(
-        f"[bench] $label: host alloc path degraded (${last._2}%.2f GB/s < $AllocHealthyGbps); waiting " +
+        f"[bench] $label: host degraded (alloc ${last._2}%.2f GB/s vs $AllocHealthyGbps, " +
+          f"cpu ${last._3}%.2f Gops vs $CpuHealthyGops); waiting " +
           f"(gate budget ${gateBudgetMs / 1000}s, deadline in $remainingSec%.0fs)")
       val nap = math.min(sleepMs, gateBudgetMs)
       Thread.sleep(nap)
       gateBudgetMs -= nap
-      last = hostProbe()
-      tries += 1
+      last = take()
     }
-    if (last._2 < AllocHealthyGbps)
+    if (degraded)
       System.err.println(s"[bench] $label: proceeding on a degraded host (budget/deadline exhausted)")
-    (last._1, last._2, tries)
+    last
   }
 
   /** Launch one protocol level in a fresh child JVM and parse its result.
     * Each level is GATED on the host probe so a co-tenant degradation window
     * cannot contaminate one side of the N-vs-4N ratio. Returns
-    * (pairs, sec, allocGbpsAtLaunch). */
-  private def runLevel(cores: Int, parts: Int, input: String): (Long, Double, Double) = {
-    val (_, alloc, _) = probeGate(s"level-$cores")
+    * (pairs, sec, allocGbpsAtLaunch, cpuGopsAtLaunch). */
+  private def runLevel(cores: Int, parts: Int, input: String): (Long, Double, Double, Double) = {
+    val (_, alloc, cpu) = probeGate(s"level-$cores")
     val (pairs, sec) = runLevelRaw(cores, parts, input)
-    (pairs, sec, alloc)
+    (pairs, sec, alloc, cpu)
   }
 
   private def runLevelRaw(cores: Int, parts: Int, input: String): (Long, Double) = {
@@ -257,15 +274,49 @@ object Bench {
     if (a >= AllocHealthyGbps) a else math.max(a, allocProbe())
   }
 
-  /** One suite reading of one query: wall seconds bracketed by the alloc
-    * stamps taken immediately before and after it. Sick = either bracket
-    * below the health floor — the degradation window may open or close
-    * mid-query, so both sides must be clean for the reading to be trusted.
+  @volatile private var cpuBlackhole: Long = 0L
+
+  /** Fixed-work CPU probe: a serial 16M-iteration xorshift loop, ~30 ms
+    * healthy on this box. Single-threaded and allocation-free, so it reads
+    * pure scheduler/ALU availability — the path [[allocProbe]] cannot see
+    * (see [[CpuHealthyGops]]). Runs between queries, outside every timed
+    * window; stamping all 58 suite queries adds ~3.5 s. */
+  private def cpuProbe(): Double = {
+    val iters = 16000000L
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val gops = iters.toDouble / (System.nanoTime() - t0)
+    cpuBlackhole ^= x // keep the loop observable — no dead-code elimination
+    gops
+  }
+
+  /** Best-of-two on a sick first reading, mirroring [[allocStamp]]: a single
+    * descheduling blip (or safepoint) must not quarantine a healthy query. */
+  private def cpuStamp(): Double = {
+    val c = cpuProbe()
+    if (c >= CpuHealthyGops) c else math.max(c, cpuProbe())
+  }
+
+  /** One suite reading of one query: wall seconds bracketed by the alloc AND
+    * cpu stamps taken immediately before and after it. Sick = ANY bracket
+    * below its health floor — the degradation window may open or close
+    * mid-query, so both sides of both paths must be clean for the reading to
+    * be trusted. The two probes are complementary: alloc reads the page-fault
+    * /memory path (the 2026-08-17 co-tenant collapse), cpu reads scheduler
+    * steal (the r5 q14 contamination the alloc stamps waved through).
     * package-visible (with [[keptReading]]) so BenchSpec pins the quarantine
     * rules without a host. */
   private[graft] final case class QRun(sec: Double, allocBefore: Double,
-      allocAfter: Double, err: Option[String]) {
-    def sick: Boolean = allocBefore < AllocHealthyGbps || allocAfter < AllocHealthyGbps
+      allocAfter: Double, err: Option[String],
+      cpuBefore: Double = 1.0, cpuAfter: Double = 1.0) {
+    def sick: Boolean =
+      allocBefore < AllocHealthyGbps || allocAfter < AllocHealthyGbps ||
+        cpuBefore < CpuHealthyGops || cpuAfter < CpuHealthyGops
   }
 
   /** The reading the suite total and error set are built from. */
@@ -348,19 +399,21 @@ object Bench {
       // next #1) — wall times from a degraded window are garbage — and each
       // query is stamp-bracketed (VERDICT r4 next #1) so a degradation
       // window opening MID-suite quarantines exactly the queries it touched.
-      val (copyStart, allocStart, _) = probeGate("suite-start")
+      val (copyStart, allocStart, cpuStart) = probeGate("suite-start")
       var spark = session(cpus)
       warmSession(spark)
-      // Runs `names` in order, each reading bracketed by alloc stamps (the
-      // stamp after query i doubles as the stamp before query i+1 — one
-      // probe per boundary, outside every timed window). The mid-suite
+      // Runs `names` in order, each reading bracketed by alloc+cpu stamps
+      // (the stamp pair after query i doubles as the pair before query i+1 —
+      // one probe per boundary, outside every timed window). The mid-suite
       // deadline guard skips the TAIL once the part-2 reserve is hit:
       // skipped != failed, n_failed stays honest, and the skip point lands
       // in gated_out via the returned marker.
-      def runSuite(sess: SparkSession, names: Seq[String], startAlloc: Double)
+      def runSuite(sess: SparkSession, names: Seq[String],
+          startAlloc: Double, startCpu: Double)
           : (scala.collection.mutable.LinkedHashMap[String, QRun], Option[String]) = {
         val out = scala.collection.mutable.LinkedHashMap[String, QRun]()
-        var prevStamp = startAlloc
+        var prevAlloc = startAlloc
+        var prevCpu = startCpu
         var skippedFrom: Option[String] = None
         names.foreach { name =>
           if (skippedFrom.isEmpty && remainingSec < ScalingReserveSec) skippedFrom = Some(name)
@@ -374,15 +427,17 @@ object Bench {
                     .replaceAll("[\"\\\\]", "'"))
               }
             val sec = (System.nanoTime() - t0) / 1e9
-            val after = allocStamp()
-            out(name) = QRun(sec, prevStamp, after, err)
-            prevStamp = after
+            val afterAlloc = allocStamp()
+            val afterCpu = cpuStamp()
+            out(name) = QRun(sec, prevAlloc, afterAlloc, err, prevCpu, afterCpu)
+            prevAlloc = afterAlloc
+            prevCpu = afterCpu
           }
         }
         (out, skippedFrom)
       }
       val allNames = SparkEntry.queries.keys.toSeq.sorted
-      val (run1, skipped1) = runSuite(spark, allNames, allocStart)
+      val (run1, skipped1) = runSuite(spark, allNames, allocStart, cpuStart)
       skipped1.foreach(n => gatedOut ::= s"suite_from_$n")
       suiteRuns = 1
       suiteTotals = Seq(run1.valuesIterator.map(_.sec).sum)
@@ -409,14 +464,14 @@ object Bench {
         rerunState =
           if (remainingSec <= ScalingReserveSec + MinRerunWindowSec) "no_window"
           else {
-            val (_, allocRetry, _) = probeGate("suite-retry")
+            val (_, allocRetry, cpuRetry) = probeGate("suite-retry")
             // the gate itself consumes budget — re-check before launching
             if (remainingSec <= ScalingReserveSec + MinRerunWindowSec / 2) "gated_out"
             else {
               spark.stop()
               spark = session(cpus)
               warmSession(spark)
-              val (run2, skipped2) = runSuite(spark, retryNames, allocRetry)
+              val (run2, skipped2) = runSuite(spark, retryNames, allocRetry, cpuRetry)
               retries ++= run2
               suiteRuns = 2
               if (skipped2.nonEmpty || run2.size < retryNames.size) "truncated" else "complete"
@@ -437,16 +492,16 @@ object Bench {
       // lines; never inlined — it is what overflowed the tail r1-r3).
       val qs = run1.map { case (n, q1) =>
         val retryJson = retries.get(n).map(q2 =>
-          f""","retry_sec":${q2.sec}%.3f,"retry_alloc_before":${q2.allocBefore}%.2f,"retry_alloc_after":${q2.allocAfter}%.2f,"retry_reason":"${if (q1.sick) "sick" else "heavy"}"""")
+          f""","retry_sec":${q2.sec}%.3f,"retry_alloc_before":${q2.allocBefore}%.2f,"retry_alloc_after":${q2.allocAfter}%.2f,"retry_cpu_before":${q2.cpuBefore}%.2f,"retry_cpu_after":${q2.cpuAfter}%.2f,"retry_reason":"${if (q1.sick) "sick" else "heavy"}"""")
           .getOrElse("")
         val k = kept(n)
         "\"" + n + "\":" +
-          f"""{"sec":${q1.sec}%.3f,"alloc_before":${q1.allocBefore}%.2f,"alloc_after":${q1.allocAfter}%.2f$retryJson,"kept":"${k.src}","quarantined":${k.sick}}"""
+          f"""{"sec":${q1.sec}%.3f,"alloc_before":${q1.allocBefore}%.2f,"alloc_after":${q1.allocAfter}%.2f,"cpu_before":${q1.cpuBefore}%.2f,"cpu_after":${q1.cpuAfter}%.2f$retryJson,"kept":"${k.src}","quarantined":${k.sick}}"""
       }.mkString("{", ",", "}")
       val errJson = kept.collect { case (n, k) if k.err.isDefined =>
         s""""$n":"${k.err.get}"""" }.mkString("{", ",", "}")
       val quarJson = quarantined.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-      val hostStart = f""""host_probe":{"copy_gbps_start":$copyStart%.2f,"alloc_gbps_start":$allocStart%.2f}"""
+      val hostStart = f""""host_probe":{"copy_gbps_start":$copyStart%.2f,"alloc_gbps_start":$allocStart%.2f,"cpu_gops_start":$cpuStart%.2f}"""
       new java.io.File("target").mkdirs()
       java.nio.file.Files.write(java.nio.file.Paths.get(FullJsonPath),
         s"""{"queries":$qs,"errors":$errJson,"suite_totals":${suiteTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"rerun":"$rerunState","quarantined":$quarJson,"sf":"$sfDir",$hostStart}"""
@@ -484,7 +539,7 @@ object Bench {
         // own heap) with the shuffle partition count FIXED across levels
         // (64): same plan, same tasks, only the core count varies.
         val fixedParts = 64
-        val levelRes = scala.collection.mutable.LinkedHashMap[Int, (Long, Double, Double)]()
+        val levelRes = scala.collection.mutable.LinkedHashMap[Int, (Long, Double, Double, Double)]()
         Seq(nLo, nHi).foreach { c => levelRes(c) = runLevel(c, fixedParts, inputPath) }
         // Single-box wall times are noisy; best-of-N interleaved rounds is
         // the standard defense. The retry guard is SYMMETRIC (VERDICT r2
@@ -492,7 +547,7 @@ object Bench {
         // eff > ~1.05 (superlinear) -> LO level ran slow. Either way re-run
         // both levels (deadline permitting) and keep each level's best.
         def effOf(): Double = {
-          val (pLo, sLo, _) = levelRes(nLo); val (pHi, sHi, _) = levelRes(nHi)
+          val (pLo, sLo, _, _) = levelRes(nLo); val (pHi, sHi, _, _) = levelRes(nHi)
           ((pHi / sHi) / (pLo / sLo)) / 4.0
         }
         var extraRounds = 0
@@ -500,7 +555,7 @@ object Bench {
             remainingSec > ScalingStartReserveSec) {
           Seq(nLo, nHi).foreach { c =>
             val again = runLevel(c, fixedParts, inputPath)
-            val (pb, sb, _) = levelRes(c)
+            val (pb, sb, _, _) = levelRes(c)
             if (again._1 / again._2 > pb / sb) levelRes(c) = again
           }
           extraRounds += 1
@@ -514,10 +569,10 @@ object Bench {
             gatedOut ::= s"info_level_$c"
           else levelRes(c) = runLevel(c, fixedParts, inputPath)
         }
-        val (pairsLo, secLo, _) = levelRes(nLo)
-        val (pairsHi, secHi, _) = levelRes(nHi)
-        val levelsJson = levelRes.map { case (c, (n, t, alloc)) =>
-          f""""cores_$c":{"sec":$t%.2f,"pairs_per_sec":${n / t}%.0f,"alloc_gbps_at_launch":$alloc%.2f}""" }
+        val (pairsLo, secLo, _, _) = levelRes(nLo)
+        val (pairsHi, secHi, _, _) = levelRes(nHi)
+        val levelsJson = levelRes.map { case (c, (n, t, alloc, cpu)) =>
+          f""""cores_$c":{"sec":$t%.2f,"pairs_per_sec":${n / t}%.0f,"alloc_gbps_at_launch":$alloc%.2f,"cpu_gops_at_launch":$cpu%.2f}""" }
           .mkString("{", ",", "}")
         scalingJson =
           f"""{"pages":$nPages,"pairs_scored":$pairsHi,"protocol":"local[$nLo] vs local[$nHi] (N vs 4N cores), fresh JVM per level, 64 shuffle parts; BASELINE.md scaling","n_lo":$nLo,"n_hi":$nHi,"lo_sec":$secLo%.2f,"hi_sec":$secHi%.2f,"pairs_per_sec_lo":${pairsLo / secLo}%.0f,"pairs_per_sec_hi":${pairsHi / secHi}%.0f,"levels":$levelsJson,"scaling_efficiency":${effOf()}%.3f}"""
@@ -530,10 +585,12 @@ object Bench {
         } catch { case _: Throwable => () }
       }
       // Host-health stamps: BEFORE the suite and AFTER the protocol.
-      // copy ~8 / alloc ~2+ GB/s = healthy box; alloc << 1 GB/s = co-tenant
-      // page-fault-path pressure inflating every wall time in this JSON.
+      // copy ~8 / alloc ~2+ GB/s / cpu ~0.5 Gops = healthy box; alloc << 1
+      // = co-tenant page-fault-path pressure, cpu << 0.25 = scheduler steal
+      // — either inflates every wall time in this JSON.
       val (copyEnd, allocEnd) = hostProbe()
-      hostJson = f""""host_probe":{"copy_gbps_start":$copyStart%.2f,"alloc_gbps_start":$allocStart%.2f,"copy_gbps_end":$copyEnd%.2f,"alloc_gbps_end":$allocEnd%.2f}"""
+      val cpuEnd = cpuStamp()
+      hostJson = f""""host_probe":{"copy_gbps_start":$copyStart%.2f,"alloc_gbps_start":$allocStart%.2f,"cpu_gops_start":$cpuStart%.2f,"copy_gbps_end":$copyEnd%.2f,"alloc_gbps_end":$allocEnd%.2f,"cpu_gops_end":$cpuEnd%.2f}"""
     } catch {
       case e: Throwable =>
         runError = (e.getClass.getSimpleName + ": " +

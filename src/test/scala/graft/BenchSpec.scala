@@ -3,21 +3,41 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the bench suite's trust rules (VERDICT r4 next #1) without a host:
-  * a reading is SICK when either bracketing alloc stamp is below the 2.0
-  * GB/s floor, and the kept reading per query is the healthy retry when one
-  * exists, else the first reading (quarantined if sick). These rules decide
-  * which wall times enter BENCH_r{N}.json — four rounds of bench-evidence
-  * bugs say they deserve a pin. No SparkSession needed.
+  * a reading is SICK when any bracketing stamp — alloc (2.0 GB/s floor) or
+  * fixed-work CPU (0.25 Gops floor) — is below its floor, and the kept
+  * reading per query is the healthy retry when one exists, else the first
+  * reading (quarantined if sick). These rules decide which wall times enter
+  * BENCH_r{N}.json — four rounds of bench-evidence bugs say they deserve a
+  * pin. No SparkSession needed.
   */
 class BenchSpec extends AnyFunSuite {
   private def q(sec: Double, before: Double, after: Double,
-      err: Option[String] = None) = Bench.QRun(sec, before, after, err)
+      err: Option[String] = None, cpuBefore: Double = 0.5, cpuAfter: Double = 0.5) =
+    Bench.QRun(sec, before, after, err, cpuBefore, cpuAfter)
 
-  test("a reading is sick if EITHER bracketing stamp is below the floor") {
+  test("a reading is sick if EITHER bracketing alloc stamp is below the floor") {
     assert(!q(1.0, 2.5, 2.5).sick)
     assert(q(1.0, 1.9, 2.5).sick, "window closing mid-query must taint it")
     assert(q(1.0, 2.5, 1.9).sick, "window opening mid-query must taint it")
     assert(q(1.0, 0.1, 0.1).sick)
+  }
+
+  test("a reading is sick if EITHER bracketing CPU stamp is below the floor") {
+    // The r5 q14 incident: 92.8s under healthy ALLOC stamps — scheduler
+    // steal is invisible to the memory-path probe. The fixed-work CPU stamp
+    // (healthy ~0.5 Gops on this box) must taint such a reading on its own.
+    assert(q(92.8, 6.2, 4.2, cpuBefore = 0.08, cpuAfter = 0.45).sick,
+      "steal window closing mid-query must taint it")
+    assert(q(92.8, 6.2, 4.2, cpuBefore = 0.45, cpuAfter = 0.08).sick,
+      "steal window opening mid-query must taint it")
+    assert(!q(1.0, 2.5, 2.5, cpuBefore = 0.26, cpuAfter = 0.48).sick)
+  }
+
+  test("a healthy CPU-stamped retry lifts a CPU-sick quarantine") {
+    val k = Bench.keptReading(
+      q(92.8, 6.2, 4.2, cpuBefore = 0.08, cpuAfter = 0.45),
+      Some(q(15.5, 5.0, 5.1)))
+    assert(k == Bench.Kept(15.5, "retry", None, sick = false))
   }
 
   test("healthy first reading is kept as-is, never quarantined") {
