@@ -325,15 +325,21 @@ object Bench {
 
   /** Kept reading per query. A sick first reading is replaced by a healthy
     * retry (quarantine lifted); with no healthy retry it stays, quarantined
-    * — a contaminated reading must be NAMED, never laundered. When BOTH
-    * readings are stamp-healthy (the [[HeavyRetrySec]] redundancy path) the
-    * FASTER one is kept: the two sessions measured identical work, and the
-    * contamination modes the stamps cannot see only ever inflate, so min is
-    * the better estimator of the true cost. bench_full.json shows both
-    * readings either way. */
+    * — a contaminated reading must be NAMED, never laundered. A healthy
+    * SUCCESSFUL first reading can only be displaced by a healthy SUCCESSFUL
+    * retry: a failed retry's wall time does not measure the same work, and a
+    * transient fresh-session failure must never make a working query look
+    * broken (nor shrink the suite total). A healthy retry that fixed a
+    * failed first reading replaces it regardless of speed. When both
+    * readings are stamp-healthy successes (the [[HeavyRetrySec]] redundancy
+    * path) the FASTER one is kept: the two sessions measured identical work,
+    * and the contamination modes the stamps cannot see only ever inflate, so
+    * min is the better estimator of the true cost. bench_full.json shows
+    * both readings either way. */
   private[graft] def keptReading(q1: QRun, retry: Option[QRun]): Kept =
     retry match {
-      case Some(q2) if !q2.sick && (q1.sick || q2.sec < q1.sec) =>
+      case Some(q2) if !q2.sick && (q1.sick ||
+          (q2.err.isEmpty && (q1.err.isDefined || q2.sec < q1.sec))) =>
         Kept(q2.sec, "retry", q2.err, sick = false)
       case _ => Kept(q1.sec, "first", q1.err, q1.sick)
     }
@@ -402,6 +408,11 @@ object Bench {
       val (copyStart, allocStart, cpuStart) = probeGate("suite-start")
       var spark = session(cpus)
       warmSession(spark)
+      // The gate's stamps predate ~10-30s of Spark startup + warm-up; the
+      // first query's "before" bracket must be taken immediately before it
+      // runs or a window opening during startup slips through unbracketed.
+      def freshStamps(): (Double, Double) = (allocStamp(), cpuStamp())
+      val (suiteAlloc0, suiteCpu0) = freshStamps()
       // Runs `names` in order, each reading bracketed by alloc+cpu stamps
       // (the stamp pair after query i doubles as the pair before query i+1 —
       // one probe per boundary, outside every timed window). The mid-suite
@@ -437,7 +448,7 @@ object Bench {
         (out, skippedFrom)
       }
       val allNames = SparkEntry.queries.keys.toSeq.sorted
-      val (run1, skipped1) = runSuite(spark, allNames, allocStart, cpuStart)
+      val (run1, skipped1) = runSuite(spark, allNames, suiteAlloc0, suiteCpu0)
       skipped1.foreach(n => gatedOut ::= s"suite_from_$n")
       suiteRuns = 1
       suiteTotals = Seq(run1.valuesIterator.map(_.sec).sum)
@@ -464,14 +475,16 @@ object Bench {
         rerunState =
           if (remainingSec <= ScalingReserveSec + MinRerunWindowSec) "no_window"
           else {
-            val (_, allocRetry, cpuRetry) = probeGate("suite-retry")
+            probeGate("suite-retry")
             // the gate itself consumes budget — re-check before launching
             if (remainingSec <= ScalingReserveSec + MinRerunWindowSec / 2) "gated_out"
             else {
               spark.stop()
               spark = session(cpus)
               warmSession(spark)
-              val (run2, skipped2) = runSuite(spark, retryNames, allocRetry, cpuRetry)
+              // fresh brackets AFTER startup, as above
+              val (retryAlloc0, retryCpu0) = freshStamps()
+              val (run2, skipped2) = runSuite(spark, retryNames, retryAlloc0, retryCpu0)
               retries ++= run2
               suiteRuns = 2
               if (skipped2.nonEmpty || run2.size < retryNames.size) "truncated" else "complete"

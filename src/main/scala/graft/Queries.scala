@@ -564,9 +564,14 @@ object Queries {
     val nTables = 2; val nBits = 6; val thr = 0.4
     val raw = t(s, dir, "embeddings")
     // embeddings are fixed-width per corpus; read the width once (bounded
-    // single-row action, not a data-path collect)
-    val dim = raw.select(size(col("embedding")).as("d")).limit(1)
+    // single-row action, not a data-path collect). Null-safe: sampling a
+    // null embedding would NPE here, and a ragged corpus would silently
+    // null out trailing dims in the zip_with below — fail LOUD instead of
+    // diverging from the oracle (the corpus contract is fixed-width).
+    val dim = raw.where(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0, "q44: embeddings table has no non-null embedding row")
     val e = raw
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding").cast("array<double>"),

@@ -89,4 +89,22 @@ class BenchSpec extends AnyFunSuite {
       Some(q(2.0, 2.5, 2.5, Some("OOM"))))
     assert(k2.err.contains("OOM"))
   }
+
+  test("a FAILED healthy retry never displaces a healthy successful first reading") {
+    // A transient fresh-session failure (e.g. OOM after 2s) is not a faster
+    // measurement of the same work: keeping it would report a working query
+    // as failed AND shrink the suite total.
+    val k = Bench.keptReading(
+      q(15.5, 6.2, 4.2, None),
+      Some(q(2.0, 5.0, 5.1, Some("OOM"))))
+    assert(k == Bench.Kept(15.5, "first", None, sick = false))
+  }
+
+  test("a successful healthy retry replaces a FAILED first reading even when slower") {
+    val k = Bench.keptReading(
+      q(3.0, 2.5, 2.5, Some("AnalysisException: x")),
+      Some(q(5.0, 2.5, 2.5, None)))
+    assert(k == Bench.Kept(5.0, "retry", None, sick = false),
+      "success beats failure regardless of wall time")
+  }
 }
