@@ -53,6 +53,8 @@ case class TokenOverlapExpr(left: Expression, right: Expression)
 }
 
 object TokenOverlapOp {
+  import org.apache.spark.unsafe.Platform
+  import org.apache.spark.unsafe.array.ByteArrayMethods
 
   /** Java regex \s = [ \t\n\x0B\f\r] — ASCII-only, so a byte-level scan is
     * exact on UTF-8 (no whitespace byte can occur inside a multi-byte
@@ -61,35 +63,38 @@ object TokenOverlapOp {
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
   /** Tokenization state for one side: distinct non-empty tokens as
-    * (start, len, hash) triples over the side's byte array, plus whether the
-    * side carries the empty-string token (leading/trailing whitespace run or
-    * empty input — Java `split(regex, -1)` keeps those empties). */
-  private final class Toks(val bytes: Array[Byte]) {
-    val len: Int = bytes.length
+    * (start, len, hash) triples addressed (base, offset) DIRECTLY over the
+    * UTF8String payload — zero-copy, like EditDistance.distanceAscii next
+    * door (`getBytes` would copy the payload per evaluation for offset- or
+    * parquet-backed strings). Also tracks whether the side carries the
+    * empty-string token (leading/trailing whitespace run or empty input —
+    * Java `split(regex, -1)` keeps those empties). */
+  private final class Toks(val base: AnyRef, val off: Long, val len: Int) {
     var n: Int = 0 // number of DISTINCT non-empty tokens
     val starts = new Array[Int](len / 2 + 1)
     val lens = new Array[Int](len / 2 + 1)
     val hashes = new Array[Long](len / 2 + 1)
     var hasEmpty: Boolean = false
 
+    @inline private def at(i: Int): Byte = Platform.getByte(base, off + i)
+
     def tokenize(): Unit = {
-      hasEmpty = len == 0 || (len > 0 && (isWs(bytes(0)) || isWs(bytes(len - 1))))
+      hasEmpty = len == 0 || isWs(at(0)) || isWs(at(len - 1))
       var i = 0
       while (i < len) {
-        while (i < len && isWs(bytes(i))) i += 1
+        while (i < len && isWs(at(i))) i += 1
         if (i < len) {
           val from = i
-          while (i < len && !isWs(bytes(i))) i += 1
+          while (i < len && !isWs(at(i))) i += 1
           val tl = i - from
-          val h = XXH64.hashUnsafeBytes(bytes,
-            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, tl, 42L)
+          val h = XXH64.hashUnsafeBytes(base, off + from, tl, 42L)
           // keep only if distinct so far (hash pre-filter, bytes confirm)
           var j = 0
           var dup = false
           while (j < n && !dup) {
             if (hashes(j) == h && lens(j) == tl &&
-              java.util.Arrays.equals(bytes, from, from + tl,
-                bytes, starts(j), starts(j) + tl)) dup = true
+              ByteArrayMethods.arrayEquals(
+                base, off + from, base, off + starts(j), tl.toLong)) dup = true
             j += 1
           }
           if (!dup) { starts(n) = from; lens(n) = tl; hashes(n) = h; n += 1 }
@@ -97,12 +102,12 @@ object TokenOverlapOp {
       }
     }
 
-    def contains(other: Array[Byte], from: Int, tl: Int, h: Long): Boolean = {
+    def contains(oBase: AnyRef, oOff: Long, from: Int, tl: Int, h: Long): Boolean = {
       var j = 0
       while (j < n) {
         if (hashes(j) == h && lens(j) == tl &&
-          java.util.Arrays.equals(other, from, from + tl,
-            bytes, starts(j), starts(j) + tl)) return true
+          ByteArrayMethods.arrayEquals(
+            oBase, oOff + from, base, off + starts(j), tl.toLong)) return true
         j += 1
       }
       false
@@ -110,8 +115,8 @@ object TokenOverlapOp {
   }
 
   def overlap(a: UTF8String, b: UTF8String): Double = {
-    val ta = new Toks(a.getBytes)
-    val tb = new Toks(b.getBytes)
+    val ta = new Toks(a.getBaseObject, a.getBaseOffset, a.numBytes)
+    val tb = new Toks(b.getBaseObject, b.getBaseOffset, b.numBytes)
     ta.tokenize()
     tb.tokenize()
     val da = ta.n + (if (ta.hasEmpty) 1 else 0)
@@ -121,7 +126,7 @@ object TokenOverlapOp {
     var shared = if (ta.hasEmpty && tb.hasEmpty) 1 else 0
     var j = 0
     while (j < tb.n) {
-      if (ta.contains(tb.bytes, tb.starts(j), tb.lens(j), tb.hashes(j))) shared += 1
+      if (ta.contains(tb.base, tb.off, tb.starts(j), tb.lens(j), tb.hashes(j))) shared += 1
       j += 1
     }
     shared.toDouble / denom

@@ -39,9 +39,29 @@ object ConnectedComponents {
   def applyWithStats(edges: DataFrame, allNodes: DataFrame,
       cfg: MatchConfig = MatchConfig()): (DataFrame, Int) = {
     val spark = edges.sparkSession
-    cfg.checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // Reliable-checkpoint hygiene: `df.checkpoint(true)` files are NOT freed
+    // by the ContextCleaner (spark.cleaner.referenceTracking.cleanCheckpoints
+    // defaults to false), so a fixpoint loop that checkpoints every round
+    // would retain O(iterations) dead files. Each cut gets a fresh
+    // setCheckpointDir (fresh uuid subdir); once the new EAGER checkpoint is
+    // fully materialized, the previous round's files are unreferenced and
+    // deleted. Only dirs THIS call created are ever deleted — never a
+    // caller-set checkpoint dir (the caller may have live checkpoints there).
+    // The FINAL round's files survive (the returned frame reads them); the
+    // caller owns their lifetime (see IncrementalMdm's per-batch scope).
+    var prevOwnCkpt: Option[org.apache.hadoop.fs.Path] = None
     def cut(df: DataFrame): DataFrame =
-      if (cfg.checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      if (cfg.checkpointDir.isDefined) {
+        val sc = spark.sparkContext
+        sc.setCheckpointDir(cfg.checkpointDir.get)
+        val out = df.checkpoint(true) // eager: materialized before any delete
+        val own = sc.getCheckpointDir.map(new org.apache.hadoop.fs.Path(_))
+        prevOwnCkpt.foreach { p =>
+          p.getFileSystem(sc.hadoopConfiguration).delete(p, true); ()
+        }
+        prevOwnCkpt = own
+        out
+      } else df.localCheckpoint(true)
 
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
       .where(col("u") =!= col("v"))

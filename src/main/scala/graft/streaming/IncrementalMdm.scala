@@ -79,10 +79,37 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     * PATHS through the shared subplan grows multiplicatively, and one
     * commitMany was observed spending minutes of driver CPU (and OOMing)
     * inside generateTreeString. A checkpoint collapses the subplan to a
-    * leaf, bounding every downstream plan's print and optimize cost. */
-  private def cut(df: DataFrame): DataFrame = {
-    cfg.checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
-    if (cfg.checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    * leaf, bounding every downstream plan's print and optimize cost.
+    *
+    * Lifecycle: reliable-checkpoint files are NOT freed by the
+    * ContextCleaner (spark.cleaner.referenceTracking.cleanCheckpoints
+    * defaults false), so an unmanaged dir grows O(batches) forever on a
+    * long-running stream. Every reliable checkpoint of a batch — these two
+    * cuts AND ConnectedComponents' per-round cuts — lands under the batch's
+    * own scope dir ([[batchCkptScope]]); the scope is deleted right after
+    * `commitMany` (everything the checkpoints fed is in the committed
+    * snapshot by then, and the returned golden frame reads the STORE, not
+    * the checkpoints), and any crash leftovers are swept at the start of
+    * the next batch. Retained checkpoint data is O(one batch), always. */
+  private def cut(df: DataFrame, scope: Option[String]): DataFrame = scope match {
+    case Some(d) =>
+      df.sparkSession.sparkContext.setCheckpointDir(d)
+      df.checkpoint(true)
+    case None => df.localCheckpoint(true)
+  }
+
+  /** Root of all per-batch reliable-checkpoint scopes (under the user's
+    * `cfg.checkpointDir`); None in local mode. */
+  private def ckptScopeRoot: Option[String] =
+    cfg.checkpointDir.map(d => s"$d/graft-incr-ckpt")
+
+  private def batchCkptScope(batchSeq: Long): Option[String] =
+    ckptScopeRoot.map(r => s"$r/batch-$batchSeq")
+
+  private def deletePath(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 
   /** Process one micro-batch of raw pages against the current committed
@@ -108,6 +135,10 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     val prevKeyCounts =
       if (prevExists) Some(store.readPartAll(spark, stage, "keycounts")) else None
     val batchSeq = store.committed().count(_._2 == stage)
+    // Sweep crash leftovers from earlier batches' checkpoint scopes (a batch
+    // that committed already deleted its own; one that crashed could not).
+    ckptScopeRoot.foreach(deletePath(spark, _))
+    val ckptScope = batchCkptScope(batchSeq)
 
     // New records only: a record already merged must not flip attributes
     // mid-stream (old wins on record_id collision; ids are deterministic so
@@ -120,7 +151,7 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     // Signature computed ONCE per record, persisted in the clean log —
     // later batches never re-standardize or re-hash history. Lineage-CUT
     // (not merely cached): ~10 downstream frames reference it.
-    val newWithSig = cut(Blocking.withSignature(newClean, cfg))
+    val newWithSig = cut(Blocking.withSignature(newClean, cfg), ckptScope)
     val allWithSig = prevClean match {
       case Some(p) => p.unionByName(newWithSig)
       case None => newWithSig
@@ -205,7 +236,8 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     // Lineage-CUT like newWithSig: the deepest per-batch plan, referenced
     // by newEdges/endpointIds/mapped/repNodes/audit.
     val scored = cut(Scoring(
-      Pairs.attach(cands, allWithSig.select(Scoring.attachColumns.map(col): _*)), cfg))
+      Pairs.attach(cands, allWithSig.select(Scoring.attachColumns.map(col): _*)), cfg),
+      ckptScope)
     // Materialize the scored pairs now: caps the per-record latency window
     // (standardize -> block -> candidates -> score) that the reference's
     // match_results.processing_time_ms records
@@ -274,7 +306,12 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
       .unionByName(mapped.select(col("dst").as("record_id")))
       .unionByName(newWithSig.select("record_id"))
       .distinct()
-    val (repAssign, ccIters) = ConnectedComponents.applyWithStats(mapped, repNodes, cfg)
+    // CC's per-round reliable checkpoints land in this batch's scope too
+    // (CC itself already deletes its dead intermediate rounds; its final
+    // round's files live until the scope is deleted after commitMany).
+    val (repAssign, ccIters) =
+      ConnectedComponents.applyWithStats(mapped, repNodes,
+        cfg.copy(checkpointDir = ckptScope.orElse(cfg.checkpointDir)))
 
     // --- touched-entity-only deltas (VERDICT r3 missing #3) ---------------
     // The r3 layout rewrote the FULL assign and golden parts every
@@ -461,6 +498,11 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
         "assign" -> Seq("cluster_bucket", "rec_bucket")))
 
     val out = golden(spark)
+    // Snapshot committed: every frame the reliable checkpoints fed is
+    // persisted in the store, and `out` reads the store — the batch's
+    // checkpoint files are dead. Delete the scope (local mode: no-op,
+    // localCheckpoint RDDs are ContextCleaner-freed once unreferenced).
+    batchCkptScope(batchSeq).foreach(deletePath(spark, _))
     // newWithSig/scored are checkpointed, not cached — their RDDs are freed
     // by the ContextCleaner once unreferenced; unpersist targets the rest.
     (Seq(newKeys, prunedHistory, newCounts, newAssign,

@@ -40,6 +40,33 @@ class IncrementalMdmSpec extends SparkSpec {
     pt.unpersist(); pages.unpersist()
   }
 
+  test("reliable-checkpoint retention is O(one batch): scope deleted after every commit") {
+    // df.checkpoint(true) files are never freed by the ContextCleaner
+    // (cleanCheckpoints defaults false) — an unmanaged dir on a long-running
+    // stream grows O(batches) forever. Pin the fix: every batch's reliable
+    // checkpoints (cut() + CC rounds) land in a per-batch scope dir that is
+    // deleted right after commitMany, so ZERO files remain between batches,
+    // and the checkpointDir-backed run still converges to the batch golden.
+    val pt = PageGen.pagesWithTruth(spark, 40).cache()
+    val pages = pt.select("url", "warc_ts", "html", "text", "lang").cache()
+    val batchGolden = goldenKey(Pipeline.run(pages).golden)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    val ckRoot = java.nio.file.Files.createTempDirectory("graft-incr-ck").toString
+    val inc = new IncrementalMdm(new SnapshotStore(dir),
+      MatchConfig(checkpointDir = Some(ckRoot)))
+    val withBatch = pages.withColumn("b", ntile(2).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("warc_ts"), col("url"))))
+    (1 to 2).foreach { b =>
+      inc.processBatch(withBatch.where(col("b") === b).drop("b"))
+      val leaked = java.nio.file.Files.walk(java.nio.file.Paths.get(ckRoot))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(leaked == 0, s"$leaked reliable-checkpoint files leaked after batch $b")
+    }
+    assert(goldenKey(new IncrementalMdm(new SnapshotStore(dir)).golden(spark)) == batchGolden)
+    pt.unpersist(); pages.unpersist()
+  }
+
   test("hot-key history salting (tiny maxBlockSize) still converges to the batch golden") {
     // Force the salted new-vs-history join into MULTI-GROUP territory: with
     // maxBlockSize=3 every shared block key larger than 3 members splits the
