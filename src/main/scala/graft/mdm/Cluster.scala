@@ -49,6 +49,10 @@ object ConnectedComponents {
     // caller-set checkpoint dir (the caller may have live checkpoints there).
     // The FINAL round's files survive (the returned frame reads them); the
     // caller owns their lifetime (see IncrementalMdm's per-batch scope).
+    // NOTE: sc.setCheckpointDir is context-GLOBAL, so reliable-checkpointed
+    // CC calls must not run concurrently on one SparkContext (true before
+    // this cleanup too — interleaved setCheckpointDir already mixed dirs);
+    // give concurrent pipelines distinct contexts or distinct cfg dirs.
     var prevOwnCkpt: Option[org.apache.hadoop.fs.Path] = None
     def cut(df: DataFrame): DataFrame =
       if (cfg.checkpointDir.isDefined) {
