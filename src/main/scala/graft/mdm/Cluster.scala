@@ -43,27 +43,32 @@ object ConnectedComponents {
     // by the ContextCleaner (spark.cleaner.referenceTracking.cleanCheckpoints
     // defaults to false), so a fixpoint loop that checkpoints every round
     // would retain O(iterations) dead files. Each cut gets a fresh
-    // setCheckpointDir (fresh uuid subdir); once the new EAGER checkpoint is
-    // fully materialized, the previous round's files are unreferenced and
-    // deleted. Only dirs THIS call created are ever deleted — never a
-    // caller-set checkpoint dir (the caller may have live checkpoints there).
-    // The FINAL round's files survive (the returned frame reads them); the
-    // caller owns their lifetime (see IncrementalMdm's per-batch scope).
-    // NOTE: sc.setCheckpointDir is context-GLOBAL, so reliable-checkpointed
-    // CC calls must not run concurrently on one SparkContext (true before
-    // this cleanup too — interleaved setCheckpointDir already mixed dirs);
-    // give concurrent pipelines distinct contexts or distinct cfg dirs.
-    var prevOwnCkpt: Option[org.apache.hadoop.fs.Path] = None
+    // setCheckpointDir (fresh uuid subdir); generation k-2's files are
+    // deleted once generation k is materialized. Retaining TWO generations
+    // (not one) matters at checkpointEvery > 1: a persist-only round's
+    // cached frame has lineage into the LATEST generation, and an executor
+    // loss right after the next cut would recompute through it — gen k-1
+    // must outlive those cached frames (all unpersisted before cut k+1).
+    // Only dirs THIS call created are ever deleted — never a caller-set
+    // checkpoint dir (the caller may have live checkpoints there). The last
+    // two generations survive the call (the returned frame reads the final
+    // one); the caller owns their lifetime (see IncrementalMdm's per-batch
+    // scope). NOTE: sc.setCheckpointDir is context-GLOBAL, so reliable-
+    // checkpointed CC calls must not run concurrently on one SparkContext
+    // (true before this cleanup too — interleaved setCheckpointDir already
+    // mixed dirs); give concurrent pipelines distinct contexts or dirs.
+    var ownCkptGens: List[org.apache.hadoop.fs.Path] = Nil // newest first
     def cut(df: DataFrame): DataFrame =
       if (cfg.checkpointDir.isDefined) {
         val sc = spark.sparkContext
         sc.setCheckpointDir(cfg.checkpointDir.get)
         val out = df.checkpoint(true) // eager: materialized before any delete
         val own = sc.getCheckpointDir.map(new org.apache.hadoop.fs.Path(_))
-        prevOwnCkpt.foreach { p =>
+        ownCkptGens = own.toList ::: ownCkptGens
+        ownCkptGens.drop(2).foreach { p =>
           p.getFileSystem(sc.hadoopConfiguration).delete(p, true); ()
         }
-        prevOwnCkpt = own
+        ownCkptGens = ownCkptGens.take(2)
         out
       } else df.localCheckpoint(true)
 

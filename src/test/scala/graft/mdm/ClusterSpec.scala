@@ -84,14 +84,15 @@ class ClusterSpec extends SparkSpec {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
       .filter(p => java.nio.file.Files.isRegularFile(p)).count()
     assert(wrote > 0, "reliable checkpoint dir is empty — checkpoint() not exercised")
-    // ... and retention is O(1), not O(iterations): each cut deletes the
-    // previous round's dead files (ContextCleaner never frees reliable
-    // checkpoints), so exactly ONE uuid generation dir survives — the one
-    // the returned frame still reads.
+    // ... and retention is O(1), not O(iterations): each cut deletes
+    // generation k-2's dead files (ContextCleaner never frees reliable
+    // checkpoints), so at most TWO uuid generation dirs survive — the one
+    // the returned frame reads plus its predecessor (kept because
+    // persist-only rounds' cached frames carry lineage into it).
     val gens = java.nio.file.Files.list(java.nio.file.Paths.get(ckDir))
       .filter(p => java.nio.file.Files.isDirectory(p)).count()
-    assert(gens == 1,
-      s"expected 1 surviving checkpoint generation, found $gens — dead rounds leaked")
+    assert(gens <= 2,
+      s"expected <=2 surviving checkpoint generations, found $gens — dead rounds leaked")
     // the survivor is live: the returned assignment must still be readable
     assert(assign.count() == n.toLong)
   }
