@@ -325,21 +325,22 @@ object Bench {
 
   /** Kept reading per query. A sick first reading is replaced by a healthy
     * retry (quarantine lifted); with no healthy retry it stays, quarantined
-    * — a contaminated reading must be NAMED, never laundered. A healthy
-    * SUCCESSFUL first reading can only be displaced by a healthy SUCCESSFUL
-    * retry: a failed retry's wall time does not measure the same work, and a
-    * transient fresh-session failure must never make a working query look
-    * broken (nor shrink the suite total). A healthy retry that fixed a
-    * failed first reading replaces it regardless of speed. When both
-    * readings are stamp-healthy successes (the [[HeavyRetrySec]] redundancy
-    * path) the FASTER one is kept: the two sessions measured identical work,
-    * and the contamination modes the stamps cannot see only ever inflate, so
-    * min is the better estimator of the true cost. bench_full.json shows
-    * both readings either way. */
+    * — a contaminated reading must be NAMED, never laundered. A FAILED
+    * retry can only displace a first reading that ALSO failed: a failure's
+    * wall time does not measure the same work, and a transient
+    * fresh-session failure must never make a query that has a successful
+    * reading — healthy OR quarantined — look broken (nor shrink the suite
+    * total). A healthy retry that fixed a failed first reading replaces it
+    * regardless of speed. When both readings are stamp-healthy successes
+    * (the [[HeavyRetrySec]] redundancy path) the FASTER one is kept: the
+    * two sessions measured identical work, and the contamination modes the
+    * stamps cannot see only ever inflate, so min is the better estimator of
+    * the true cost. bench_full.json shows both readings either way. */
   private[graft] def keptReading(q1: QRun, retry: Option[QRun]): Kept =
     retry match {
-      case Some(q2) if !q2.sick && (q1.sick ||
-          (q2.err.isEmpty && (q1.err.isDefined || q2.sec < q1.sec))) =>
+      case Some(q2) if !q2.sick &&
+          (q2.err.isEmpty || q1.err.isDefined) && // failure displaces only failure
+          (q1.sick || q1.err.isDefined || q2.sec < q1.sec) =>
         Kept(q2.sec, "retry", q2.err, sick = false)
       case _ => Kept(q1.sec, "first", q1.err, q1.sick)
     }

@@ -563,15 +563,18 @@ object Queries {
     // skew-split banded join; this twin pins the mechanism.
     val nTables = 2; val nBits = 6; val thr = 0.4
     val raw = t(s, dir, "embeddings")
-    // embeddings are fixed-width per corpus; read the width once (bounded
-    // single-row action, not a data-path collect). Null-safe: sampling a
-    // null embedding would NPE here, and a ragged corpus would silently
-    // null out trailing dims in the zip_with below — fail LOUD instead of
-    // diverging from the oracle (the corpus contract is fixed-width).
+    // embeddings are fixed-width per corpus (the table contract); read the
+    // width once (bounded single-row action, not a data-path collect),
+    // skipping null rows — sampling a null embedding would NPE the getInt.
+    // An empty or all-null table yields dim=0 → empty weight arrays → null
+    // dots → no pair survives the cosine filter — an EMPTY result, same as
+    // the DuckDB oracle. A genuinely ragged corpus is out of contract:
+    // zip_with null-pads the width mismatch, so such a row's dot goes null
+    // and it lands in the zero bucket (bucketing-recall loss only — the
+    // exact cosine verify below still reads the full vectors).
     val dim = raw.where(col("embedding").isNotNull)
       .select(size(col("embedding")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    require(dim > 0, "q44: embeddings table has no non-null embedding row")
     val e = raw
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding").cast("array<double>"),

@@ -57,17 +57,14 @@ object ConnectedComponents {
     // checkpointed CC calls must not run concurrently on one SparkContext
     // (true before this cleanup too — interleaved setCheckpointDir already
     // mixed dirs); give concurrent pipelines distinct contexts or dirs.
-    var ownCkptGens: List[org.apache.hadoop.fs.Path] = Nil // newest first
+    var ownCkptGens: List[String] = Nil // newest first
     def cut(df: DataFrame): DataFrame =
       if (cfg.checkpointDir.isDefined) {
         val sc = spark.sparkContext
         sc.setCheckpointDir(cfg.checkpointDir.get)
         val out = df.checkpoint(true) // eager: materialized before any delete
-        val own = sc.getCheckpointDir.map(new org.apache.hadoop.fs.Path(_))
-        ownCkptGens = own.toList ::: ownCkptGens
-        ownCkptGens.drop(2).foreach { p =>
-          p.getFileSystem(sc.hadoopConfiguration).delete(p, true); ()
-        }
+        ownCkptGens = sc.getCheckpointDir.toList ::: ownCkptGens
+        ownCkptGens.drop(2).foreach(CheckpointHygiene.bestEffortDelete(spark, _))
         ownCkptGens = ownCkptGens.take(2)
         out
       } else df.localCheckpoint(true)

@@ -106,12 +106,6 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
   private def batchCkptScope(batchSeq: Long): Option[String] =
     ckptScopeRoot.map(r => s"$r/batch-$batchSeq")
 
-  private def deletePath(spark: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
-  }
-
   /** Process one micro-batch of raw pages against the current committed
     * state; commits one atomic snapshot and returns the new golden table. */
   def processBatch(batch: DataFrame): DataFrame = {
@@ -137,7 +131,7 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     val batchSeq = store.committed().count(_._2 == stage)
     // Sweep crash leftovers from earlier batches' checkpoint scopes (a batch
     // that committed already deleted its own; one that crashed could not).
-    ckptScopeRoot.foreach(deletePath(spark, _))
+    ckptScopeRoot.foreach(CheckpointHygiene.bestEffortDelete(spark, _))
     val ckptScope = batchCkptScope(batchSeq)
 
     // New records only: a record already merged must not flip attributes
@@ -311,7 +305,7 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     // round's files live until the scope is deleted after commitMany).
     val (repAssign, ccIters) =
       ConnectedComponents.applyWithStats(mapped, repNodes,
-        cfg.copy(checkpointDir = ckptScope.orElse(cfg.checkpointDir)))
+        cfg.copy(checkpointDir = ckptScope))
 
     // --- touched-entity-only deltas (VERDICT r3 missing #3) ---------------
     // The r3 layout rewrote the FULL assign and golden parts every
@@ -502,7 +496,7 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     // persisted in the store, and `out` reads the store — the batch's
     // checkpoint files are dead. Delete the scope (local mode: no-op,
     // localCheckpoint RDDs are ContextCleaner-freed once unreferenced).
-    batchCkptScope(batchSeq).foreach(deletePath(spark, _))
+    batchCkptScope(batchSeq).foreach(CheckpointHygiene.bestEffortDelete(spark, _))
     // newWithSig/scored are checkpointed, not cached — their RDDs are freed
     // by the ContextCleaner once unreferenced; unpersist targets the rest.
     (Seq(newKeys, prunedHistory, newCounts, newAssign,

@@ -85,9 +85,20 @@ class BenchSpec extends AnyFunSuite {
       Some(q(2.0, 2.5, 2.5, None)))
     assert(k.err.isEmpty, "a query fixed by the fresh session is not failed")
     val k2 = Bench.keptReading(
-      q(3.0, 0.5, 2.5, None),
+      q(3.0, 2.5, 2.5, Some("AnalysisException: x")),
       Some(q(2.0, 2.5, 2.5, Some("OOM"))))
-    assert(k2.err.contains("OOM"))
+    assert(k2.err.contains("OOM"), "both failed: the fresh-session failure is the one kept")
+  }
+
+  test("a FAILED healthy retry never displaces a SICK successful first reading either") {
+    // The query demonstrably works (the sick run succeeded); reporting it
+    // failed because a fresh session hit a transient error would be wrong
+    // on both axes. Keep the sick success, quarantined — named, not
+    // laundered into a failure.
+    val k = Bench.keptReading(
+      q(30.0, 0.5, 2.5, None),
+      Some(q(2.0, 2.5, 2.5, Some("OOM"))))
+    assert(k == Bench.Kept(30.0, "first", None, sick = true))
   }
 
   test("a FAILED healthy retry never displaces a healthy successful first reading") {
