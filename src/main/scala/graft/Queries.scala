@@ -19,6 +19,26 @@ object Queries {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Parallelism spread for compute-exploding stages fed by tiny scans
+    * (optimization guide §2.5 "input skew … repartition immediately after
+    * the read", §2.2 partition sizing). Two local-mode pathologies serialize
+    * the expensive stages of these queries: (a) each test table is a single
+    * single-row-group parquet file, so its scan cannot split — every
+    * narrow chain fused onto the scan (explode+hash pipelines, broadcast-
+    * join pair generation + per-pair scoring) runs in ONE task; (b) AQE
+    * coalesces post-shuffle partitions by BYTES (1 MB floor), which is the
+    * wrong signal when a few hundred KB of keys fan out into millions of
+    * scored pairs. An explicit round-robin repartition to the session's
+    * shuffle parallelism — scale-adaptive via spark.sql.shuffle.partitions,
+    * never a constant — restores the parallelism the plan would have at
+    * real scale, where multi-file inputs give the scan this split for free
+    * (and there callers would not need, and do not get, this helper: it is
+    * a bench-scale query-harness device, not a production-operator one).
+    * Results are unaffected: it only changes row-to-task placement, and no
+    * touched query does order-sensitive floating-point accumulation. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Exact decimal sum of a money expression, returned as double — identical
     * bits on Spark and DuckDB regardless of accumulation order. */
   private def moneySum(c: Column): Column =
@@ -147,7 +167,7 @@ object Queries {
     val c = t(s, dir, "customer")
     val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k1"))
     val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"))
-    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+    spread(a).join(broadcast(b), Seq("nk")).where(col("k1") < col("k2"))
       .groupBy(col("nk")).agg(count(lit(1)).as("n_pairs"))
       .select(col("nk").as("c_nationkey"), col("n_pairs"))
       .orderBy("c_nationkey")
@@ -169,7 +189,7 @@ object Queries {
       col("c_name").as("n1"), length(col("c_name")).as("len1"))
     val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"),
       col("c_name").as("n2"), length(col("c_name")).as("len2"))
-    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+    spread(a).join(broadcast(b), Seq("nk")).where(col("k1") < col("k2"))
       .where(abs(col("len1") - col("len2")).cast("double") <=
         lit(0.12005) * greatest(col("len1"), col("len2")).cast("double"))
       .withColumn("sim", round(levenshteinSim(col("n1"), col("n2")), 4))
@@ -194,7 +214,7 @@ object Queries {
     // ov, so the prune drops no row the oracle keeps. The corpus-scale
     // near-dup path remains Dedup.minhashPairs; this pins exact overlap
     // semantics.
-    val d = t(s, dir, "documents")
+    val d = spread(t(s, dir, "documents"))
       .select(col("lang"), col("source"), col("doc_id"),
         array_distinct(tokens(col("text"))).as("tk"))
       .select(col("lang"), col("source"), col("doc_id"),
@@ -225,7 +245,7 @@ object Queries {
     // result set to the all-pairs form (jac > 0 ⟺ ≥1 shared shingle);
     // a boilerplate shingle shared by k docs costs k² index rows — real
     // corpora cap document frequency / fall back to Dedup.minhashPairs.
-    val d = t(s, dir, "documents")
+    val d = spread(t(s, dir, "documents"))
       .where(size(tokens(col("text"))) >= 3)
       .select(col("source"), col("doc_id"),
         array_distinct(textShingles(col("text"), 3)).as("sh"))
@@ -254,7 +274,7 @@ object Queries {
     * element (single joined-token fallback below 3 tokens), so the explode
     * drops no document. */
   private def minhashMd5Sig(s: SparkSession, dir: String): DataFrame = {
-    val exploded = t(s, dir, "documents")
+    val exploded = spread(t(s, dir, "documents"))
       .select(col("doc_id"), explode(textShingles(col("text"), 3)).as("x"))
     val slots = (0 until 4).map(i =>
       min(md5(concat(lit(s"$i|"), col("x")))).as(s"mh$i"))
@@ -282,7 +302,7 @@ object Queries {
 
   def q19_exact_dedup(s: SparkSession, dir: String): DataFrame =
     // exact dedup: hash-groupBy on content (md5(text))
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .groupBy(md5(col("text")).as("h"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
       .orderBy("h")
@@ -290,7 +310,7 @@ object Queries {
   def q20_simhash8(s: SparkSession, dir: String): DataFrame = {
     // 8-bit SimHash via md5-hex bit votes — expressible in ANSI SQL for the
     // oracle; the production simhash64 uses xxhash64 (GraftFunctions)
-    val d = t(s, dir, "documents")
+    val d = spread(t(s, dir, "documents"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("hx", md5(col("tok")))
     val digit = (k: Int) =>
@@ -311,7 +331,7 @@ object Queries {
     val e = t(s, dir, "embeddings").where(col("vec_id") < 1000)
     val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("label").as("l1"))
     val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("label").as("l2"))
-    a.join(b, col("v1") < col("v2"))
+    spread(a).join(broadcast(b), col("v1") < col("v2"))
       .withColumn("cos", cosineSim(col("e1"), col("e2")))
       .where(col("cos") >= 0.35)
       .groupBy((col("l1") === col("l2")).as("same_label"))
@@ -342,7 +362,7 @@ object Queries {
       col("c_mktsegment").as("m1"), col("c_acctbal").as("b1"))
     val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"),
       col("c_mktsegment").as("m2"), col("c_acctbal").as("b2"))
-    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+    spread(a).join(broadcast(b), Seq("nk")).where(col("k1") < col("k2"))
       .withColumn("score", round(
         when(col("m1") === col("m2"), 0.3).otherwise(0.0) +
           lit(0.2) + // same nation by construction (the block key)
@@ -372,7 +392,7 @@ object Queries {
     val business = when(col("m1") === col("m2"), 0.3).otherwise(0.0) + lit(0.2)
     val combined = when(col("n1") === col("n2"), 1.0).otherwise(0.0) * 0.30 +
       levenshteinSim(col("n1"), col("n2")) * 0.25 + business * 0.15
-    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+    spread(a).join(broadcast(b), Seq("nk")).where(col("k1") < col("k2"))
       .withColumn("decision",
         when(col("n1") =!= col("n2") &&
             lit(0.25) * (lit(1.0) - ld / maxLen) + business * 0.15 <= 0.3, "no_match")
@@ -434,7 +454,7 @@ object Queries {
     // under Spark 4 ANSI mode (ADVICE r1) — null ratios instead.
     val toks = tokens(col("text"))
     val nToks = size(toks)
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id"),
         nToks.as("n_tokens"),
         when(nToks === 0, lit(null).cast("double")).otherwise(round(
@@ -450,7 +470,7 @@ object Queries {
   def q30_token_topk_per_lang(s: SparkSession, dir: String): DataFrame = {
     // language profiling: top-5 tokens per lang (explode + grouped top-k)
     val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("lang"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w))
@@ -492,7 +512,7 @@ object Queries {
     // reference of `sig` (measured 35s -> ~3s at sf0.1); the aggregate form
     // computes each md5 exactly once and is the map-side-combining plan
     // you'd want at scale anyway.
-    val exploded = t(s, dir, "documents")
+    val exploded = spread(t(s, dir, "documents"))
       .select(col("doc_id"), explode(textShingles(col("text"), 3)).as("x"))
     val slots = (0 until 8).map(i =>
       min(md5(concat(lit(s"$i|"), col("x")))).as(s"mh$i"))
@@ -517,7 +537,7 @@ object Queries {
     // md5-keyed ORACLE TWIN of Dedup.simhashPairs: 16-bit md5-parity simhash
     // -> 2 x 8-bit band keys -> banded pair join -> hamming filter via
     // bit_count(xor). Production path uses xxhash64/64-bit (er_simhash_dedup).
-    val d = t(s, dir, "documents")
+    val d = spread(t(s, dir, "documents"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("hx", md5(col("tok")))
     val digit = (k: Int) =>
@@ -575,7 +595,7 @@ object Queries {
     val dim = raw.where(col("embedding").isNotNull)
       .select(size(col("embedding")).as("d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    val e = raw
+    val e = spread(raw)
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding").cast("array<double>"),
           x => floor(x * 1000).cast("long")).as("qe"))
@@ -624,7 +644,7 @@ object Queries {
     // FP-agreement between engines); ids, not cosines, are emitted.
     // Production path (er_ann_ivf) keeps xxhash64 sampling + heap aggs.
     val nCent = 16; val nProbe = 4; val k = 3
-    val e = t(s, dir, "embeddings")
+    val e = spread(t(s, dir, "embeddings"))
       .select(col("vec_id"), col("embedding"))
     val cent = e.orderBy(md5(col("vec_id").cast("string")))
       .limit(nCent)
@@ -698,7 +718,13 @@ object Queries {
       col("lang"))
     val clean = Standardize(basePages.unionByName(mirrorPages))
 
-    val exploded = clean.select(col("record_id"), explode(textShingles(col("text"), 3)).as("x"))
+    // spread ONLY the narrow (record_id, text) projection feeding the
+    // shingle+md5 explode — the signature aggregation is this query's
+    // heaviest per-task compute. Spreading the full wide `clean` instead
+    // was measured WORSE (15-19s vs ~8s: every consumer branch re-pays a
+    // wide-row shuffle and every tiny downstream stage fans to 64 tasks).
+    val exploded = spread(clean.select(col("record_id"), col("text")))
+      .select(col("record_id"), explode(textShingles(col("text"), 3)).as("x"))
     val slots = (0 until 4).map(i => min(md5(concat(lit(s"$i|"), col("x")))).as(s"mh$i"))
     val sigged = exploded.groupBy("record_id").agg(slots.head, slots.tail: _*)
       .withColumn("sig", array((0 until 4).map(i =>
@@ -737,7 +763,7 @@ object Queries {
     // deterministically from TPC-H customer columns (both engines compute
     // the same derivation, so DuckDB sees identical bytes).
     import graft.mdm.Standardize.ref
-    val c = t(s, dir, "part")
+    val c = spread(t(s, dir, "part"))
       .withColumn("name_raw", concat(col("p_name"), lit(" #"), col("p_partkey")))
       .withColumn("email_raw", concat(lit("  "), upper(col("p_name")), lit("@EXample.COM ")))
       .withColumn("phone_raw", concat(lit("tel: +1 ("), col("p_partkey"), lit(") 555-01")))
@@ -764,7 +790,7 @@ object Queries {
       col("nm").as("nm1"), col("ad").as("ad1"))
     val b = base.select(col("p_brand").as("nk"), col("p_partkey").as("k2"),
       col("nm").as("nm2"), col("ad").as("ad2"))
-    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+    spread(a).join(broadcast(b), Seq("nk")).where(col("k1") < col("k2"))
       .withColumn("name_soundex", RecordScoring.soundexScore(col("nm1"), col("nm2")))
       .withColumn("fuzzy", round(RecordScoring.fuzzyOverall(
         col("nm1"), col("nm2"), col("ad1"), col("ad2")), 4))
@@ -799,7 +825,7 @@ object Queries {
       col("c_name").as("n1"), col("c_mktsegment").as("m1"))
     val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"),
       col("c_name").as("n2"), col("c_mktsegment").as("m2"))
-    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+    spread(a).join(broadcast(b), Seq("nk")).where(col("k1") < col("k2"))
       // Provable prune (VERDICT r2 what's-wrong #3): a kept row needs
       // round(combined,4) > 0.3. With n1 <> n2 exact=0 and business <= 0.5,
       // so it needs 0.25*fuzzy_r > 0.22495, i.e. true fuzzy > 0.89975; and
@@ -848,7 +874,7 @@ object Queries {
     val b = base.select(col("p_brand").as("blk"), col("p_partkey").as("k2"),
       col("p_name").as("n2"), col("p_type").as("t2"), col("p_size").as("s2"),
       col("p_retailprice").as("pr2"))
-    val scored = a.join(b, Seq("blk")).where(col("k1") < col("k2"))
+    val scored = spread(a).join(broadcast(b), Seq("blk")).where(col("k1") < col("k2"))
       .select(col("k1").as("record1_id"), col("k2").as("record2_id"),
         when(col("t1") === col("t2"), 1.0).otherwise(0.0).as("exact_score"),
         round(levenshteinSim(col("n1"), col("n2")), 4).as("fuzzy_score"),
@@ -882,7 +908,7 @@ object Queries {
       col("embedding").as("e1"))
     val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"),
       col("embedding").as("e2"))
-    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+    spread(a).join(broadcast(b), Seq("nk")).where(col("k1") < col("k2"))
       .where(col("e1").isNotNull && col("e2").isNotNull)
       .withColumn("vector_score", round(cosineSim(col("e1"), col("e2")), 4))
       .where(col("vector_score") >= 0.3)
@@ -951,7 +977,7 @@ object Queries {
       .withColumn("blk", substring(col("c_name"), 16, 3))
     val a = c.select(col("blk"), col("c_custkey").as("k1"))
     val b = c.select(col("blk"), col("c_custkey").as("k2"))
-    a.join(b, Seq("blk")).where(col("k1") < col("k2"))
+    spread(a).join(broadcast(b), Seq("blk")).where(col("k1") < col("k2"))
       .groupBy(col("blk")).agg(count(lit(1)).as("n_pairs"))
       .orderBy("blk")
   }
@@ -1844,7 +1870,7 @@ object Queries {
   /** MinHash-LSH self-join over documents (production blocking path,
     * native text_minhash expression). */
   def er_lsh_blocking(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = spread(t(s, dir, "documents"))
       .withColumn("sig", textMinhash(col("text"), 16, 3))
     d.select(col("doc_id"), explode(bandKeys(col("sig"), 8, 16)).as("bk"))
       .groupBy("bk").agg(count(lit(1)).as("n"))
@@ -1853,7 +1879,7 @@ object Queries {
 
   /** 64-bit production simhash (native xxhash64 bit-vote expression). */
   def er_simhash64(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id"), textSimhash(col("text")).as("simhash"))
       .orderBy("doc_id")
 
@@ -1874,7 +1900,7 @@ object Queries {
     val c = t(s, dir, "customer")
     val a = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k1"), col("c_name").as("n1"))
     val b = c.select(col("c_nationkey").as("nk"), col("c_custkey").as("k2"), col("c_name").as("n2"))
-    a.join(b, Seq("nk")).where(col("k1") < col("k2"))
+    spread(a).join(broadcast(b), Seq("nk")).where(col("k1") < col("k2"))
       .select(col("k1"), col("k2"), round(jaroWinkler(col("n1"), col("n2")), 4).as("jw"))
       .where(col("jw") >= 0.97)
       .orderBy("k1", "k2")
@@ -1882,18 +1908,18 @@ object Queries {
 
   /** MinHash-LSH near-dup dedup over documents (xxhash64 production path). */
   def er_minhash_dedup(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.minhashPairs(t(s, dir, "documents"), "text", "doc_id",
+    graft.ops.Dedup.minhashPairs(spread(t(s, dir, "documents")), "text", "doc_id",
       threshold = 0.2).orderBy("id1", "id2")
 
   /** SimHash near-dup pairs over documents (guaranteed-recall banding:
     * maxHamming+1 bands; md5 oracle twin = q36). */
   def er_simhash_dedup(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+    graft.ops.Dedup.simhashPairs(spread(t(s, dir, "documents")), "text", "doc_id",
       maxHamming = 3).orderBy("id1", "id2")
 
   /** Embedding-cosine near-dup via hyperplane LSH buckets. */
   def er_cosine_dedup(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Dedup.cosinePairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+    graft.ops.Dedup.cosinePairs(spread(t(s, dir, "embeddings")), "embedding", "vec_id",
       threshold = 0.4).orderBy("id1", "id2")
 
   /** IVF-style ANN top-k for the first 10 query vectors — production path:
@@ -1902,14 +1928,14 @@ object Queries {
     * q45 replays the UNtrained mechanism (sample -> invert -> multi-probe ->
     * top-k) — training only moves the centroids, not the algebra. */
   def er_ann_ivf(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = spread(t(s, dir, "embeddings"))
     graft.ops.SimilaritySearch.ivfTopK(e.where(col("vec_id") < 10), e,
       "embedding", "vec_id", k = 3, trainIters = 2).orderBy("qid", "rank")
   }
 
   /** Heuristic language id + quality + token counting over documents. */
   def er_text_analysis(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = spread(t(s, dir, "documents"))
     graft.ops.TextAnalysis.tokenCounts(
       graft.ops.TextAnalysis.qualityFeatures(
         graft.ops.TextAnalysis.langId(d, "text"), "text"), "text")

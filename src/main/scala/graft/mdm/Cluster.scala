@@ -58,7 +58,16 @@ object ConnectedComponents {
     // (true before this cleanup too — interleaved setCheckpointDir already
     // mixed dirs); give concurrent pipelines distinct contexts or dirs.
     var ownCkptGens: List[String] = Nil // newest first
-    def cut(df: DataFrame): DataFrame =
+    // Local-mode cut is LAZY (r6, guide §1.2 "remove unnecessary passes"):
+    // a lazy localCheckpoint saves its blocks DURING the first action that
+    // computes them — and every cut below is immediately followed by the
+    // digest action, so the digest doubles as the materializer and each
+    // iteration runs ONE job instead of two (measured: the eager
+    // cut+digest pair cost ~2 jobs/round of pure scheduling overhead on
+    // bench-scale graphs). The reliable-checkpoint path stays EAGER: a lazy
+    // reliable checkpoint recomputes the whole lineage in a second pass to
+    // write the files, which is strictly worse.
+    def cut(df: DataFrame, eager: Boolean = false): DataFrame =
       if (cfg.checkpointDir.isDefined) {
         val sc = spark.sparkContext
         sc.setCheckpointDir(cfg.checkpointDir.get)
@@ -67,7 +76,7 @@ object ConnectedComponents {
         ownCkptGens.drop(2).foreach(CheckpointHygiene.bestEffortDelete(spark, _))
         ownCkptGens = ownCkptGens.take(2)
         out
-      } else df.localCheckpoint(true)
+      } else df.localCheckpoint(eager)
 
     val e0 = edges.select(col("src").as("u"), col("dst").as("v"))
       .where(col("u") =!= col("v"))
@@ -94,10 +103,12 @@ object ConnectedComponents {
     }
 
     // Loop may exit on a persist-only iteration: the lazy output below still
-    // reads `e`, so cut it (eager, reads from the cache) and THEN release
-    // the cached frame — otherwise it stays in executor storage for the
-    // session lifetime (one leak per CC call at checkpointEvery > 1).
-    toUnpersist.foreach { cached => e = cut(e); cached.unpersist(); () }
+    // reads `e`, so cut it (eager — this site has no follow-on action to
+    // piggyback the materialization on, and the unpersist right after would
+    // otherwise force a full-lineage recompute) and THEN release the cached
+    // frame — otherwise it stays in executor storage for the session
+    // lifetime (one leak per CC call at checkpointEvery > 1).
+    toUnpersist.foreach { cached => e = cut(e, eager = true); cached.unpersist(); () }
 
     // e is now a star forest: (child -> root). Roots map to themselves.
     val assign = e.select(col("v").as("record_id"), col("u").as("cluster_id"))
