@@ -310,13 +310,18 @@ object Queries {
   def q20_simhash8(s: SparkSession, dir: String): DataFrame = {
     // 8-bit SimHash via md5-hex bit votes — expressible in ANSI SQL for the
     // oracle; the production simhash64 uses xxhash64 (GraftFunctions)
+    // Digit-parity via ONE conv of the leading 8 hex chars (32 bits, no
+    // ANSI-overflow risk) instead of 8 per-digit substring+instr probes:
+    // hex digit k is nibble (7-k) of the converted value, so digit(k)&1 is
+    // bit 4*(7-k) — value-identical, ~4x less per-token expression work on
+    // the exploded (doc x token) stream, the query's hottest stage.
     val d = spread(t(s, dir, "documents"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("hx", md5(col("tok")))
-    val digit = (k: Int) =>
-      (instr(lit("0123456789abcdef"), substring(col("hx"), k + 1, 1)) - 1).cast("int")
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val digitBit = (k: Int) =>
+      call_function("shiftright", col("hv"), lit(4 * (7 - k))).bitwiseAND(lit(1L))
     val votes = (0 until 8).map(k =>
-      sum(when(digit(k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k"))
+      sum(when(digitBit(k) === 1L, 1).otherwise(-1)).as(s"v$k"))
     d.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         (0 until 8).map(k => when(col(s"v$k") > 0, math.pow(2, k).toInt).otherwise(0))
@@ -537,13 +542,23 @@ object Queries {
     // md5-keyed ORACLE TWIN of Dedup.simhashPairs: 16-bit md5-parity simhash
     // -> 2 x 8-bit band keys -> banded pair join -> hamming filter via
     // bit_count(xor). Production path uses xxhash64/64-bit (er_simhash_dedup).
+    // Digit-parity via ONE conv of the leading 15 hex chars (60 bits —
+    // 16 would overflow ANSI conv) + a single probe for digit 15, instead
+    // of 16 per-digit substring+instr probes: hex digit k (k<15) is nibble
+    // (14-k) of the converted value, so digit(k)&1 is bit 4*(14-k) —
+    // value-identical, ~4x less per-token expression work on the exploded
+    // (doc x token) stream, the query's hottest stage (q20 same pattern).
     val d = spread(t(s, dir, "documents"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("hx", md5(col("tok")))
-    val digit = (k: Int) =>
-      (instr(lit("0123456789abcdef"), substring(col("hx"), k + 1, 1)) - 1).cast("int")
+      .withColumn("hv", conv(substring(col("hx"), 1, 15), 16, 10).cast("long"))
+    val digitBit = (k: Int) =>
+      if (k < 15)
+        call_function("shiftright", col("hv"), lit(4 * (14 - k))).bitwiseAND(lit(1L))
+      else // digit 15: odd hex chars have bit 0 set
+        when(instr(lit("13579bdf"), substring(col("hx"), 16, 1)) > 0, 1L).otherwise(0L)
     val votes = (0 until 16).map(k =>
-      sum(when(digit(k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k"))
+      sum(when(digitBit(k) === 1L, 1).otherwise(-1)).as(s"v$k"))
     val sig = d.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         (0 until 16).map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
@@ -716,7 +731,19 @@ object Queries {
       when(pmod(col("doc_id"), lit(6)) === 0, col("text"))
         .otherwise(concat(col("text"), lit(" mirror footer appended"))).as("text"),
       col("lang"))
-    val clean = Standardize(basePages.unionByName(mirrorPages))
+    // clean + sigged are each consumed by SEVERAL downstream branches
+    // (withSig join, 3-way key union, CC's node set, Golden). Without
+    // materialization, column pruning specializes every branch's copy of
+    // the signature aggregate (the band0 branch keeps only mh0/mh1, the
+    // sig branch all four, …), so the canonicalized exchange subtrees
+    // differ and ReuseExchange CANNOT dedupe them — the whole
+    // scan→standardize→shingle→md5→agg pipeline ran 4-6× (measured: six
+    // 64-task stages of 1.6-5.4 CPU-s each re-reading the same 1.4 MB).
+    // An in-query eager localCheckpoint computes each exactly once; this
+    // is computed state INSIDE the timed run (like Pipeline.run's
+    // persists), not cross-run caching. Same lever at 100 TB: the
+    // signature table is the thing a production pipeline materializes.
+    val clean = Standardize(basePages.unionByName(mirrorPages)).localCheckpoint()
 
     // spread ONLY the narrow (record_id, text) projection feeding the
     // shingle+md5 explode — the signature aggregation is this query's
@@ -731,6 +758,7 @@ object Queries {
         conv(substring(col(s"mh$i"), 1, 15), 16, 10).cast("long")): _*))
       .withColumn("band0", md5(concat(col("mh0"), col("mh1"))))
       .withColumn("band1", md5(concat(col("mh2"), col("mh3"))))
+      .localCheckpoint()
     val withSig = clean.join(sigged.select("record_id", "sig"), Seq("record_id"))
       .select(Scoring.attachColumns.map(col): _*)
     val keys = clean.select(col("record_id"), concat(lit("d:"), col("domain")).as("block_key"))
@@ -1851,7 +1879,16 @@ object Queries {
   /** Full ER pipeline on the deterministic generated corpus -> golden records. */
   def er_pipeline_golden(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val pages = graft.mdm.PageGen.pages(s, 120)
+    // Materialization boundary between the generator and the pipeline
+    // (guide §1.2 per-task work, measured 8.9s cold -> warm ~1.6s): without
+    // it, CollapseProject inlines PageGen's full url/text construction
+    // trees into EVERY one of Standardize's ~6 derived columns, and the
+    // resulting mega-expression costs several seconds of one-time Janino
+    // compilation during which all 32 first-stage tasks serialize on the
+    // codegen cache lock (run 53s / cpu 5.4s observed — compile, not data).
+    // 284 concrete rows are trivially cheap to materialize; a production
+    // run reads pages from storage and has this boundary for free.
+    val pages = graft.mdm.PageGen.pages(s, 120).localCheckpoint()
     graft.mdm.Pipeline.run(pages).golden
       .select("master_id", "canonical_url", "source_record_count", "first_seen")
       .orderBy("master_id")

@@ -124,7 +124,16 @@ object ConnectedComponents {
   }
 
   /** Large-star: for every node u, connect all strictly-larger neighbors to
-    * m(u) = min(u ∪ Γ(u)). Operates on the symmetrized edge list. */
+    * m(u) = min(u ∪ Γ(u)). Operates on the symmetrized edge list.
+    *
+    * NO trailing distinct (r6, guide §2.4 "remove shuffles outright"): the
+    * only consumer is [[smallStar]], whose min-aggregates are duplicate-
+    * insensitive (map-side combine absorbs dup edges before the exchange)
+    * and whose OWN trailing distinct restores set semantics before the
+    * digest — so dropping this one removes a full shuffle per fixpoint
+    * round without changing any iterate. Duplication is bounded: an edge
+    * (v, m) is emitted once per (u, v) input edge, i.e. at most deg(v)
+    * copies, the same fan-in the groupBy below already absorbs. */
   private[mdm] def largeStar(e: DataFrame): DataFrame = {
     val n = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val mins = n.groupBy("u")
@@ -134,7 +143,6 @@ object ConnectedComponents {
       .where(col("v") > col("u"))
       .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: for every node u, connect all smaller-or-equal neighbors
