@@ -24,6 +24,10 @@ final class SnapshotStore(rootDir: String) {
   private val root: Path = Paths.get(rootDir)
   Files.createDirectories(root)
 
+  /** Absolute store path — a stable identity for callers that must scope
+    * per-store working state (e.g. IncrementalMdm's checkpoint scopes). */
+  def rootPath: String = root.toAbsolutePath.toString
+
   private def snapDirName(id: Long, stage: String) = f"snap-$id%05d-$stage"
 
   /** Materialized directory listing with the stream closed (Files.list holds

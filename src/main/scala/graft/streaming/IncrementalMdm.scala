@@ -39,7 +39,8 @@ import graft.mdm._
   *    touched clusters (merged partials via `Golden.mergePartials`) plus
   *    tombstones for merged-away cluster ids, mirroring the reference's
   *    insert-or-update per touched entity (streaming_processor.py:515-674).
-  *    Every `compactEvery` batches a FULL stamped rewrite bounds the log;
+  *    Every batch additionally ROTATES a full rewrite of 1/compactEvery of
+  *    the buckets (round 6), bounding the log without a spike batch;
   *    the golden log is cid_bucket-partitioned so the per-batch
   *    touched-entities read prunes directories like the key log. A
   *    `format_version` manifest stamp fails resume loudly on a pre-v2
@@ -63,6 +64,10 @@ import graft.mdm._
   */
 class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     compactEvery: Int = IncrementalMdm.CompactEvery) {
+  require(compactEvery >= 1 &&
+    compactEvery <= math.min(IncrementalMdm.AssignRecBuckets, IncrementalMdm.GoldenBuckets),
+    s"compactEvery=$compactEvery must be in [1, min(AssignRecBuckets, GoldenBuckets)] " +
+      "so every rotation group owns at least one bucket")
 
   import IncrementalMdm.KeyBuckets
   private val stage = "state"
@@ -99,9 +104,17 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
   }
 
   /** Root of all per-batch reliable-checkpoint scopes (under the user's
-    * `cfg.checkpointDir`); None in local mode. */
-  private def ckptScopeRoot: Option[String] =
-    cfg.checkpointDir.map(d => s"$d/graft-incr-ckpt")
+    * `cfg.checkpointDir`); None in local mode. Keyed by a hash of the
+    * snapshot-store path (ADVICE r5): two IncrementalMdm instances sharing
+    * one cfg.checkpointDir (separate Spark apps on one HDFS dir) get
+    * disjoint scope roots, so the batch-start crash-leftover sweep can
+    * never delete a sibling instance's LIVE batch scope. */
+  private def ckptScopeRoot: Option[String] = {
+    lazy val storeKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(store.rootPath.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    cfg.checkpointDir.map(d => s"$d/graft-incr-ckpt-$storeKey")
+  }
 
   private def batchCkptScope(batchSeq: Long): Option[String] =
     ckptScopeRoot.map(r => s"$r/batch-$batchSeq")
@@ -262,7 +275,7 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
           pmod(xxhash64(col("record_id")), lit(IncrementalMdm.AssignRecBuckets.toLong))
             .cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      Some(store.readPartAll(spark, stage, "assign", lastCompaction)
+      Some(store.readPartAll(spark, stage, "assign", logReadFrom)
         .where(col("rec_bucket").isin(recBuckets: _*))
         .join(endpointIds, Seq("record_id"), "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -342,7 +355,7 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
             .cast("int").as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq // bounded metadata collect
       if (cidBuckets.isEmpty) None
-      else Some(store.readPartAll(spark, stage, "assign", lastCompaction)
+      else Some(store.readPartAll(spark, stage, "assign", logReadFrom)
         .where(col("cluster_bucket").isin(cidBuckets: _*))
         .join(renamedReps.select("cluster_id"), Seq("cluster_id"), "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK))
@@ -412,32 +425,62 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
       goldenFresh.withColumn("tombstone", lit(false))
         .unionByName(tombstones, allowMissingColumns = true))
 
-    // Periodic compaction: every CompactEvery batches the committed parts ARE
-    // the full state (assign rebuilt by re-keying the full assignment through the
-    // renames; the full golden = committed state minus touched/tombstoned ids
-    // plus this batch's fresh rows), stamped "compacted" so readers skip all
-    // older deltas.
-    // Amortized write cost: O(corpus / CompactEvery) per batch.
-    val compact = prevExists && batchSeq % compactEvery == 0
+    // Rotating compaction (round 6, VERDICT r5 #3): the r5 scheme rewrote
+    // the FULL assign+golden state every CompactEvery-th batch — amortized
+    // O(corpus/CompactEvery) per batch, but one monster O(corpus) batch at
+    // extreme scale (and one giant atomic commit). Instead, EVERY batch with
+    // committed history re-publishes the CURRENT state of ONE rotation group
+    // of buckets — group g = batchSeq % compactEvery owns the
+    // rec_buckets / cid_buckets with bucket % compactEvery == g — so after
+    // any compactEvery consecutive batches every bucket has a full write.
+    // Readers bound the log window at the OLDEST per-group latest full
+    // write ([[logReadFrom]]): the same bounded read as spike compaction
+    // (window <= ~compactEvery+1 snapshots), but per-batch write is
+    // O(touched + corpus/CompactEvery), never O(corpus).
+    //
+    // Correctness: a rotation write of group g at seq s holds every then-
+    // live group-g row stamped batch_seq=s, so latest-wins over any window
+    // starting at or before each group's last full write sees each record's
+    // (cluster's) current row; rows older than the window are superseded by
+    // construction, and a cluster dead by its group's compaction simply has
+    // no row — min-label CC never re-issues a retired id, so absence is
+    // permanent, exactly like a tombstone the window has aged out.
+    val rotGroup = (batchSeq % compactEvery).toInt
     val (assignOut, goldenOut) =
-      if (!compact) (assignDelta, goldenDelta)
+      if (!prevExists) (assignDelta, goldenDelta)
       else {
-        val keep = goldenStateAll(spark)
+        val readFrom = logReadFrom
+        // assign: current assignment of the group's records = window
+        // latest-wins re-keyed through this batch's renames, plus the
+        // group's NEW records; group rows are dropped from the delta so the
+        // rotation write is their single authoritative row this batch.
+        val rotRecBuckets = (0 until IncrementalMdm.AssignRecBuckets)
+          .filter(_ % compactEvery == rotGroup)
+        val recGroupCol =
+          pmod(xxhash64(col("record_id")), lit(IncrementalMdm.AssignRecBuckets.toLong)) %
+            lit(compactEvery.toLong)
+        val rotAssign = store.readPartAll(spark, stage, "assign", readFrom)
+          .where(col("rec_bucket").isin(rotRecBuckets: _*))
+          .groupBy(col("record_id"))
+          .agg(max_by(col("cluster_id"), col("batch_seq")).as("cluster_id"))
+          .join(renamedReps, Seq("cluster_id"), "left")
+          .select(col("record_id"),
+            coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
+          .unionByName(newAssign.where(recGroupCol === rotGroup))
+          .withColumn("batch_seq", lit(batchSeq.toLong))
+        val assignRot = assignDelta.where(recGroupCol =!= rotGroup)
+          .unionByName(rotAssign)
+        // golden: the group's untouched live clusters re-published at this
+        // batch_seq; touched clusters + tombstones are already in the delta.
+        val rotCidBuckets = (0 until IncrementalMdm.GoldenBuckets)
+          .filter(_ % compactEvery == rotGroup)
+        val rotGolden = goldenStateAll(spark, Some(rotCidBuckets))
           .join(touchedCids.unionByName(tombstones.select("cluster_id")).distinct(),
             Seq("cluster_id"), "left_anti")
           .select((Seq("master_id") ++ partialCols).map(col): _*)
-        val full = keep.unionByName(goldenFresh.select((Seq("master_id") ++ partialCols).map(col): _*))
-        // full assignment, built only on compaction batches (amortized —
-        // the ONLY remaining O(corpus) assign read, paid once per
-        // CompactEvery batches; non-compaction batches touch just the
-        // pruned buckets above)
-        val assignFull = (if (prevExists) {
-          assignAll(spark).join(renamedReps, Seq("cluster_id"), "left")
-            .select(col("record_id"),
-              coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
-            .unionByName(newAssign)
-        } else newAssign).withColumn("batch_seq", lit(batchSeq.toLong))
-        (assignFull, stampGolden(full.withColumn("tombstone", lit(false))))
+        val goldenRot = goldenDelta.unionByName(
+          stampGolden(rotGolden.withColumn("tombstone", lit(false))))
+        (assignRot, goldenRot)
       }
 
     // S7 JSON staging: golden entities whose cluster gained a new record
@@ -475,18 +518,21 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
       "clean" -> newWithSig, // delta
       "keys" -> newKeys, // delta, bucket-partitioned
       "keycounts" -> newCounts, // delta, bucket-partitioned (per-key counts)
-      "assign" -> stampedAssign, // delta (latest-wins by record_id), dual-bucket-partitioned; full on compaction
-      "golden" -> goldenOut, // delta + tombstones, bucket-partitioned; full on compaction
+      "assign" -> stampedAssign, // delta (latest-wins by record_id) + rotation group, dual-bucket-partitioned
+      "golden" -> goldenOut, // delta + tombstones + rotation group, bucket-partitioned
       "staging" -> staging, // delta (S7)
       "audit" -> audit // delta
     ), stage,
-      Map("batch_seq" -> batchSeq.toLong, "cc_iterations" -> ccIters.toLong,
+      (Map("batch_seq" -> batchSeq.toLong, "cc_iterations" -> ccIters.toLong,
         "history_rows_scanned" -> historyRowsScanned,
         "assign_rows_scanned" -> (edgeAssignRowsScanned + renamedRowsScanned),
         "pairs_scored" -> pairsScored,
         "batch_wall_ms" -> scoreWallMs,
-        "format_version" -> IncrementalMdm.FormatVersion,
-        "compacted" -> (if (compact) 1L else 0L)),
+        "format_version" -> IncrementalMdm.FormatVersion) ++
+        // never "compacted":1 — a pre-r6 reader must NOT anchor its window
+        // at a rotation batch (it would miss other groups' older rows); it
+        // falls back to a full-log read, which stays correct.
+        (if (prevExists) Map("compact_group" -> rotGroup.toLong) else Map.empty)),
       partitionByPart = Map("keys" -> Seq("key_bucket"), "keycounts" -> Seq("key_bucket"),
         "golden" -> Seq("cid_bucket"),
         "assign" -> Seq("cluster_bucket", "rec_bucket")))
@@ -506,20 +552,13 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     out
   }
 
-  /** Current assignment (record_id -> cluster_id): latest-delta-wins over
-    * the committed assign log since the last compaction. */
-  private def assignAll(spark: SparkSession): DataFrame =
-    store.readPartAll(spark, stage, "assign", lastCompaction)
-      .groupBy(col("record_id"))
-      .agg(max_by(col("cluster_id"), col("batch_seq")).as("cluster_id"))
-
   /** Current golden state WITH merge-state columns: latest-delta-wins by
-    * cluster_id over the committed golden log since the last compaction,
-    * tombstoned (merged-away) clusters dropped. `buckets` prunes the read to
-    * the given cid_bucket partitions (directory-level pruning). */
+    * cluster_id over the committed golden log inside the bounded rotation
+    * window, tombstoned (merged-away) clusters dropped. `buckets` prunes the
+    * read to the given cid_bucket partitions (directory-level pruning). */
   private def goldenStateAll(spark: SparkSession,
       buckets: Option[Seq[Int]] = None): DataFrame = {
-    val raw0 = store.readPartAll(spark, stage, "golden", lastCompaction)
+    val raw0 = store.readPartAll(spark, stage, "golden", logReadFrom)
     val raw = buckets.fold(raw0)(b => raw0.where(col("cid_bucket").isin(b: _*)))
     val others = raw.columns.filterNot(_ == "cluster_id")
     raw.groupBy(col("cluster_id"))
@@ -529,9 +568,29 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
       .drop("tombstone", "batch_seq", "cid_bucket")
   }
 
-  private def lastCompaction: Long =
-    store.manifests(stage).filter(_._2.contains("\"compacted\":1"))
-      .lastOption.map(_._1).getOrElse(0L)
+  /** Earliest snapshot id log readers must union from: the OLDEST of the
+    * per-rotation-group latest full writes. The FIRST committed snapshot of
+    * the stage is a full write of everything (no prior state); a legacy
+    * spike compaction ("compacted":1, pre-r6 stores) covers every group; a
+    * rotation batch covers its own "compact_group". Once every group has
+    * rotated at least once, the window is at most ~compactEvery+1 snapshots
+    * deep regardless of stream length. Metadata-only (manifest scan). */
+  private def logReadFrom: Long = {
+    val ms = store.manifests(stage)
+    if (ms.isEmpty) 0L
+    else {
+      val latest = Array.fill(compactEvery)(ms.head._1)
+      val re = """"compact_group":(\d+)""".r
+      ms.foreach { case (id, m) =>
+        if (m.contains("\"compacted\":1")) java.util.Arrays.fill(latest, id)
+        else re.findFirstMatchIn(m).foreach { g =>
+          val gi = g.group(1).toInt
+          if (gi < compactEvery) latest(gi) = id
+        }
+      }
+      latest.min
+    }
+  }
 
   /** Latest committed golden table (public schema — merge-state stripped). */
   def golden(spark: SparkSession): DataFrame =
@@ -563,10 +622,15 @@ object IncrementalMdm {
     * join, like the key log. */
   val GoldenBuckets: Int = 64
 
-  /** Every Nth batch commits FULL assign/golden parts stamped "compacted":
-    * readers union deltas only from the last compaction, bounding both the
-    * log length and the latest-wins dedup input. Amortized extra write:
-    * O(corpus / CompactEvery) rows per batch. */
+  /** Rotation-compaction cadence (round 6, VERDICT r5 #3): every batch with
+    * committed history re-publishes the full current state of the rotation
+    * group `batchSeq % CompactEvery` — the rec_buckets / cid_buckets with
+    * `bucket % CompactEvery == group` — stamped "compact_group" in the
+    * manifest. Readers union the log from the oldest per-group latest full
+    * write, so the window is bounded at ~CompactEvery+1 snapshots while the
+    * per-batch write stays O(touched + corpus/CompactEvery) — the pre-r6
+    * scheme instead rewrote the FULL corpus every CompactEvery-th batch, an
+    * O(corpus) spike batch (and one giant atomic commit) at extreme scale. */
   val CompactEvery: Int = 8
 
   /** Hive-partition fanout of the assign log on `rec_bucket =

@@ -348,7 +348,7 @@ class IncrementalMdmSpec extends SparkSpec {
     b1.unpersist(); b2.unpersist(); pages.unpersist()
   }
 
-  test("compaction every k batches is stamped, bounds the log read, and preserves golden state") {
+  test("rotating compaction is stamped per group, bounds the log read, and preserves golden state") {
     val pages = PageGen.pages(spark, 40).cache()
     val withBatch = pages.withColumn("b", ntile(3).over(
       org.apache.spark.sql.expressions.Window.orderBy(col("warc_ts"), col("url"))))
@@ -358,21 +358,26 @@ class IncrementalMdmSpec extends SparkSpec {
     val store = new SnapshotStore(dir)
     val inc = new IncrementalMdm(store, compactEvery = 2)
     (1 to 3).foreach { b => inc.processBatch(withBatch.where(col("b") === b).drop("b")) }
-    // batchSeq 2 (third batch) hits the compaction cadence
-    val stamps = store.manifests("state").map(m => m._2.contains("\"compacted\":1"))
-    assert(stamps == Seq(false, false, true), s"stamps=$stamps")
-    // compacted full part supersedes older deltas; state equals the batch run
+    // every batch with history rotates ONE group (batchSeq % compactEvery);
+    // batch 0 has no history (its delta IS a full write of everything) and
+    // must never be stamped "compacted":1 (pre-r6 readers would mis-anchor)
+    def group(m: String): Option[Int] =
+      """"compact_group":(\d+)""".r.findFirstMatchIn(m).map(_.group(1).toInt)
+    val stamps = store.manifests("state").map(m => group(m._2))
+    assert(stamps == Seq(None, Some(1), Some(0)), s"stamps=$stamps")
+    assert(store.manifests("state").forall(!_._2.contains("\"compacted\":1")))
+    // rotated full groups supersede older deltas; state equals the batch run
     assert(goldenKey(inc.golden(spark)) == batchGolden)
-    // a post-compaction batch still converges (readers start at the compaction)
+    // a replayed batch still converges (no-op delta + idempotent rotation)
     inc.processBatch(withBatch.where(col("b") === 3).drop("b")) // replay: no-op delta
     assert(goldenKey(inc.golden(spark)) == batchGolden)
     pages.unpersist()
   }
 
-  test("N > 2x compaction cadence: repeated compactions keep pruning the log and converge (VERDICT r4 #7)") {
-    // 6 batches at compactEvery=2 drive MULTIPLE compaction points; readers
-    // must anchor at the LATEST one (lastCompaction picks the last stamped
-    // manifest, not the first) and state must still equal the batch run.
+  test("N > 2x compaction cadence: the rotation window stays bounded and converges (VERDICT r4 #7)") {
+    // 6 batches at compactEvery=2 drive MULTIPLE full rotations; readers
+    // must anchor at the OLDEST per-group LATEST full write and state must
+    // still equal the batch run.
     val pages = PageGen.pages(spark, 48).cache()
     val nB = 6
     val withBatch = pages.withColumn("b", ntile(nB).over(
@@ -382,20 +387,61 @@ class IncrementalMdmSpec extends SparkSpec {
     val store = new SnapshotStore(dir)
     val inc = new IncrementalMdm(store, compactEvery = 2)
     (1 to nB).foreach { b => inc.processBatch(withBatch.where(col("b") === b).drop("b")) }
-    // cadence: batchSeq 2 and 4 compact (seq 0 is exempt: prevExists=false)
-    val stamps = store.manifests("state").map(_._2.contains("\"compacted\":1"))
-    assert(stamps == Seq(false, false, true, false, true, false), s"stamps=$stamps")
+    // rotation stamps: seq 0 exempt (prevExists=false), then 1,0,1,0,1
+    def group(m: String): Option[Int] =
+      """"compact_group":(\d+)""".r.findFirstMatchIn(m).map(_.group(1).toInt)
+    val stamps = store.manifests("state").map(m => group(m._2))
+    assert(stamps == Seq(None, Some(1), Some(0), Some(1), Some(0), Some(1)),
+      s"stamps=$stamps")
     assert(goldenKey(inc.golden(spark)) == batchGolden)
-    // the full-state read is bounded by the LAST compaction: the compacted
-    // snapshot plus later deltas hold every current record exactly once in
-    // their latest-wins view, and strictly fewer raw rows than the whole log
-    val sinceLast = store.manifests("state")
-      .filter(_._2.contains("\"compacted\":1")).last._1
-    val pruned = store.readPartAll(spark, "state", "assign", sinceLast)
+    // the bounded window: union from the oldest per-group latest full write
+    // (group 0 last rotated at snap 4, group 1 at snap 5 -> window starts at
+    // 4) holds every current record in its latest-wins view, with strictly
+    // fewer raw rows than the whole log — re-derived here independently of
+    // the engine's own logReadFrom
+    val latestPerGroup = (0 until 2).map { g =>
+      store.manifests("state").filter(m => group(m._2).contains(g)).last._1
+    }
+    val from = latestPerGroup.min
+    assert(from == 4L, s"window start=$from")
+    val pruned = store.readPartAll(spark, "state", "assign", from)
     val whole = store.readPartAll(spark, "state", "assign")
     assert(pruned.count() < whole.count())
     assert(pruned.select("record_id").distinct().count() ==
       store.readPartAll(spark, "state", "clean").count())
+    pages.unpersist()
+  }
+
+  test("rotation kills the compaction spike: NO batch writes more than ~max(touched, corpus/CompactEvery) state rows (VERDICT r5 #3)") {
+    // The r5 scheme wrote the FULL corpus every CompactEvery-th batch; with
+    // rotation every post-bulk batch writes its touched rows plus ONE
+    // rotation group (2 of 16 rec_buckets / 8 of 64 cid_buckets at the
+    // default cadence ~ corpus/8 expected) — far below any full rewrite.
+    val pages = PageGen.pages(spark, 60).cache()
+    val ordered = pages.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("warc_ts"), col("url"))))
+    val n = ordered.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-rotspike").toString
+    val store = new SnapshotStore(dir)
+    val inc = new IncrementalMdm(store) // default CompactEvery = 8
+    inc.processBatch(ordered.where(col("rn") <= n - 6).drop("rn")) // bulk
+    (0 until 3).foreach { i => // three 2-record tail batches
+      inc.processBatch(
+        ordered.where(col("rn") > n - 6 + 2 * i && col("rn") <= n - 6 + 2 * (i + 1))
+          .drop("rn"))
+    }
+    def counter(m: String, k: String): Long =
+      (s""""$k":(\\d+)""").r.findFirstMatchIn(m).get.group(1).toLong
+    val corpus = store.readPartAll(spark, "state", "clean").count()
+    val clusters = inc.golden(spark).count()
+    store.manifests("state").drop(1).foreach { case (id, m) =>
+      val a = counter(m, "rows_assign")
+      val g = counter(m, "rows_golden")
+      assert(a < corpus / 2, s"snap $id wrote $a assign rows vs $corpus records — spike")
+      assert(g < clusters / 2 + 6, s"snap $id wrote $g golden rows vs $clusters clusters — spike")
+    }
+    // and the state is still exactly the batch-run state
+    assert(goldenKey(inc.golden(spark)) == goldenKey(Pipeline.run(pages).golden))
     pages.unpersist()
   }
 
