@@ -79,13 +79,39 @@ class FunctionsSpec extends SparkSpec {
       ("café naïve 中文", "中文 café"),
       ("a", "a a a"),
       ("one", "two"))
+    // Multi-byte UTF-8 adversarial cases around the ASCII-whitespace
+    // boundary (VERDICT r5 #6): Java \s is ASCII-only, so non-ASCII
+    // whitespace LOOKALIKES must NOT split — U+00A0 NBSP (C2 A0), U+2028
+    // line separator (E2 80 A8), U+3000 ideographic space (E3 80 80); all
+    // their UTF-8 bytes are >= 0x80, which the native byte-scan must treat
+    // as token bytes. Every ASCII \s char (incl. \x0B \f \r) must split,
+    // and 3-/4-byte sequences butt directly against separators.
+    val mb = Seq(
+      ("ab", "a b"),
+      ("a\fb\rc", "a b\tc"),
+      ("a b", "a b"),
+      ("a b", "a b"),
+      ("x y", "x y"),
+      ("　中　", "中"),
+      ("中 文", "中\t文"),
+      ("😀 😀 x", "😀 y"),
+      ("éé", "é é"),
+      ("a ", "a  "))
     val rnd = new scala.util.Random(11)
     val alphabet = "ab \t\nxyé"
     val fuzz = (1 to 300).map { _ =>
       def s() = (0 until rnd.nextInt(16)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
       (s(), s())
     }
-    val pairs = edge ++ fuzz
+    // second fuzz band over a multi-byte + full-\s alphabet (the adversarial
+    // mix: separators adjacent to 2-/3-/4-byte sequences and NBSP)
+    val mbAlphabet = Vector("a", "b", " ", "\t", "\n", "", "\f", "\r",
+      " ", "é", "中", "😀")
+    val mbFuzz = (1 to 300).map { _ =>
+      def s() = (0 until rnd.nextInt(12)).map(_ => mbAlphabet(rnd.nextInt(mbAlphabet.length))).mkString
+      (s(), s())
+    }
+    val pairs = edge ++ mb ++ fuzz ++ mbFuzz
     val native = evalPairs(pairs, tokenOverlap)
     val hof = evalPairs(pairs, tokenOverlapHof)
     pairs.zip(native.zip(hof)).foreach { case ((a, b), (n, h)) =>
