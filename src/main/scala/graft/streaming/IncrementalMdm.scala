@@ -446,8 +446,18 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
     // no row — min-label CC never re-issues a retired id, so absence is
     // permanent, exactly like a tombstone the window has aged out.
     val rotGroup = (batchSeq % compactEvery).toInt
+    // No-op batches (an empty micro-batch on an idle stream, or a
+    // foreachBatch replay of an already-committed batch) skip rotation:
+    // nothing changed, so re-publishing a group would make IDLE batches pay
+    // O(corpus/CompactEvery) writes the r5 scheme never paid. Correctness
+    // is unaffected — logReadFrom derives the window from the stamps
+    // actually present, so a skipped group's window anchor just stays at
+    // its previous full write. (newAssign/renamedReps empty implies every
+    // downstream delta — renamedMembers, touchedCids, tombstones,
+    // goldenFresh — is empty too.)
+    val rotate = prevExists && !(newAssign.isEmpty && renamedReps.isEmpty)
     val (assignOut, goldenOut) =
-      if (!prevExists) (assignDelta, goldenDelta)
+      if (!rotate) (assignDelta, goldenDelta)
       else {
         val readFrom = logReadFrom
         // assign: current assignment of the group's records = window
@@ -532,7 +542,7 @@ class IncrementalMdm(store: SnapshotStore, cfg: MatchConfig = MatchConfig(),
         // never "compacted":1 — a pre-r6 reader must NOT anchor its window
         // at a rotation batch (it would miss other groups' older rows); it
         // falls back to a full-log read, which stays correct.
-        (if (prevExists) Map("compact_group" -> rotGroup.toLong) else Map.empty)),
+        (if (rotate) Map("compact_group" -> rotGroup.toLong) else Map.empty)),
       partitionByPart = Map("keys" -> Seq("key_bucket"), "keycounts" -> Seq("key_bucket"),
         "golden" -> Seq("cid_bucket"),
         "assign" -> Seq("cluster_bucket", "rec_bucket")))

@@ -368,7 +368,7 @@ class IncrementalMdmSpec extends SparkSpec {
     assert(store.manifests("state").forall(!_._2.contains("\"compacted\":1")))
     // rotated full groups supersede older deltas; state equals the batch run
     assert(goldenKey(inc.golden(spark)) == batchGolden)
-    // a replayed batch still converges (no-op delta + idempotent rotation)
+    // a replayed batch still converges (no-op delta; rotation skipped)
     inc.processBatch(withBatch.where(col("b") === 3).drop("b")) // replay: no-op delta
     assert(goldenKey(inc.golden(spark)) == batchGolden)
     pages.unpersist()
@@ -442,6 +442,15 @@ class IncrementalMdmSpec extends SparkSpec {
     }
     // and the state is still exactly the batch-run state
     assert(goldenKey(inc.golden(spark)) == goldenKey(Pipeline.run(pages).golden))
+    // an EMPTY (idle-stream) batch skips rotation entirely: zero state rows
+    // written, no compact_group stamp, state unchanged
+    val before = goldenKey(inc.golden(spark))
+    inc.processBatch(pages.limit(0))
+    val mEmpty = store.manifests("state").last._2
+    assert(counter(mEmpty, "rows_assign") == 0 && counter(mEmpty, "rows_golden") == 0,
+      s"idle batch wrote state rows: $mEmpty")
+    assert(!mEmpty.contains("\"compact_group\""), s"idle batch stamped rotation: $mEmpty")
+    assert(goldenKey(inc.golden(spark)) == before)
     pages.unpersist()
   }
 
