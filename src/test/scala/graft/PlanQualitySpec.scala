@@ -136,4 +136,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.split("HashAggregate").length >= 3,
       "expected partial + final aggregation stages")
   }
+
+  test("r6 pair-audit family: probe side spread, build side broadcast (q40)") {
+    // The round-6 local-scale fix (OPTIMIZATION_r06.md): tiny single-file
+    // scans cannot split, so the pair-exploding per-pair-scoring chain fused
+    // onto ONE task. The query spreads the probe side (round-robin exchange
+    // to the session's shuffle parallelism — scale-adaptive, not a
+    // constant) and broadcasts the small build side. Pin both so the shape
+    // cannot silently regress to a single-task sort-merge plan.
+    val p = plan(Queries.q40_match_audit(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast pair join:\n$p")
+    assert(p.contains("RoundRobinPartitioning"), s"expected spread exchange:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "pair audit fell back to sort-merge despite broadcast hint")
+  }
 }
